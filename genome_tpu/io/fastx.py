@@ -1,0 +1,81 @@
+"""FASTA/FASTQ reading + FASTA writing (reference analog: read ingestion,
+SURVEY.md §2.1 R1). Pure-Python streaming parser; a C++ fast path can be
+swapped in behind the same API (genome_tpu.io.native)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from collections.abc import Iterator
+
+
+def _open_text(path: str | os.PathLike):
+    path = os.fspath(path)
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path, "r")
+
+
+def iter_fastx(path: str | os.PathLike) -> Iterator[tuple[str, str]]:
+    """Yield (id, sequence) from FASTA or FASTQ (auto-detected, .gz ok)."""
+    with _open_text(path) as f:
+        first = f.read(1)
+        if not first:
+            return
+        if first == ">":
+            yield from _iter_fasta(f)
+        elif first == "@":
+            yield from _iter_fastq(f)
+        else:
+            raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
+
+
+def _iter_fasta(f) -> Iterator[tuple[str, str]]:
+    # f is positioned just after the first '>'
+    name = f.readline().strip().split()[0] if True else ""
+    chunks: list[str] = []
+    for line in f:
+        if line.startswith(">"):
+            yield name, "".join(chunks)
+            name = line[1:].strip().split()[0] if line[1:].strip() else ""
+            chunks = []
+        else:
+            chunks.append(line.strip())
+    yield name, "".join(chunks)
+
+
+def _iter_fastq(f) -> Iterator[tuple[str, str]]:
+    # f is positioned just after the first '@'
+    while True:
+        header = f.readline()
+        if not header:
+            return
+        seq = f.readline().strip()
+        plus = f.readline()
+        qual = f.readline()
+        if not qual:
+            raise ValueError("truncated FASTQ record")
+        assert plus.startswith("+"), "malformed FASTQ"
+        name = header.strip().split()[0]
+        yield name, seq
+        nxt = f.read(1)
+        if not nxt:
+            return
+        assert nxt == "@", "malformed FASTQ"
+
+
+def read_fastx(path: str | os.PathLike) -> list[str]:
+    """All sequences of a FASTA/FASTQ file."""
+    return [seq for _, seq in iter_fastx(path)]
+
+
+def write_fasta(path: str | os.PathLike, seqs: list[str],
+                ids: list[str] | None = None, width: int = 80) -> None:
+    """Write sequences as FASTA (ids default to contig_{i}, SEMANTICS §6)."""
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            name = ids[i] if ids is not None else f"contig_{i}"
+            f.write(f">{name}\n")
+            for j in range(0, len(s), width):
+                f.write(s[j : j + width] + "\n")
