@@ -1,0 +1,107 @@
+"""CLI driver (reference analog: the Scala `main`, SURVEY.md §2.1 R11).
+
+    python -m genome_tpu.assemble.cli reads.fastq [more.fastq ...] \
+        -o contigs.fasta --k 21 --min-coverage 2 [--backend device|golden] \
+        [--checkpoint-dir ck/ --resume] [--metrics run.jsonl] [--profile dir/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+from genome_tpu.assemble.metrics import Metrics
+from genome_tpu.io import read_fastx, write_fasta
+from genome_tpu.params import AssemblyParams
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="genome_tpu",
+        description="TPU-native de novo genome assembler (winger/genome "
+                    "capability set, built on JAX/XLA/Pallas)")
+    p.add_argument("reads", nargs="+", help="FASTA/FASTQ input file(s), .gz ok")
+    p.add_argument("-o", "--output", default="contigs.fasta",
+                   help="output FASTA path (default: %(default)s)")
+    p.add_argument("--k", type=int, default=21, help="k-mer length (odd, <=31)")
+    p.add_argument("--min-coverage", type=int, default=2,
+                   help="k-mer count threshold (default: %(default)s)")
+    p.add_argument("--tip-len", type=int, default=None,
+                   help="max tip chain length in nodes (default: 2k)")
+    p.add_argument("--bubble-len", type=int, default=None,
+                   help="max bubble side length in nodes (default: 2k+1)")
+    p.add_argument("--min-contig-len", type=int, default=0,
+                   help="drop contigs shorter than this many bases")
+    p.add_argument("--max-rounds", type=int, default=64,
+                   help="simplification round bound")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="k-mer table capacity (default: auto with retry)")
+    p.add_argument("--backend", choices=["device", "golden"], default="device",
+                   help="device = JAX/TPU pipeline, golden = NumPy reference")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="directory for phase-boundary checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse matching phase checkpoints (requires "
+                        "--checkpoint-dir)")
+    p.add_argument("--metrics", default=None, help="JSONL metrics output path")
+    p.add_argument("--profile", default=None,
+                   help="dump a jax.profiler trace to this directory")
+    p.add_argument("--quiet", action="store_true", help="suppress progress log")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        params = AssemblyParams(
+            k=args.k, min_coverage=args.min_coverage, tip_len=args.tip_len,
+            bubble_len=args.bubble_len, max_rounds=args.max_rounds,
+            min_contig_len=args.min_contig_len)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    metrics = Metrics(path=args.metrics, quiet=args.quiet)
+    reads: list[str] = []
+    with metrics.phase("read_input") as info:
+        for path in args.reads:
+            try:
+                reads.extend(read_fastx(path))
+            except (OSError, ValueError) as e:
+                print(f"error: {path}: {e}", file=sys.stderr)
+                return 2
+        info["n_reads"] = len(reads)
+        info["total_bp"] = sum(map(len, reads))
+
+    if args.resume and not args.checkpoint_dir:
+        print("error: --resume requires --checkpoint-dir", file=sys.stderr)
+        return 2
+
+    if args.backend == "golden":
+        from genome_tpu.golden import assemble_golden
+        with metrics.phase("assemble_golden") as info:
+            contigs = assemble_golden(reads, params)
+            info["n_contigs"] = len(contigs)
+    else:
+        from genome_tpu.assemble.pipeline import run_pipeline
+        ckpt_dir = args.checkpoint_dir if (args.checkpoint_dir and
+                                           (args.resume or True)) else None
+        ckpt = PhaseCheckpointer(ckpt_dir, params)
+        if not args.resume and args.checkpoint_dir:
+            # fresh run: invalidate any stale phases by ignoring loads
+            ckpt.load = lambda phase: None  # type: ignore[assignment]
+        result = run_pipeline(reads, params, capacity=args.capacity,
+                              metrics=metrics, ckpt=ckpt,
+                              profile_dir=args.profile)
+        contigs = result["contigs"]
+
+    write_fasta(args.output, contigs)
+    metrics.log("done", output=args.output, n_contigs=len(contigs),
+                params_hash=params.params_hash())
+    metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""T4: single-host assembly pipeline driver (SURVEY.md §3.1 analog).
+
+reads -> pack (host) -> extract+count (device) -> graph build (device)
+-> simplify fixpoint (device) -> contigs (host). Static shapes come from
+read batching and a power-of-two k-mer table capacity with overflow retry
+(SURVEY.md §7 "hard parts": capacity-planned buffers + overflow counters).
+
+Aux subsystems wired here (SURVEY.md §5): per-phase metrics + jax.profiler
+tracing, phase-boundary checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+from genome_tpu.assemble.metrics import Metrics
+from genome_tpu.graph.build import build_graph_device
+from genome_tpu.graph.contigs import emit_contigs
+from genome_tpu.graph.simplify import (clip_tips_pass, final_chain_state,
+                                       pop_bubbles_pass)
+from genome_tpu.kernels.count import count_kmers_device
+from genome_tpu.kernels.extract import extract_canonical_kmers, pack_reads
+from genome_tpu.params import AssemblyParams
+
+
+def _pow2_at_least(n: int) -> int:
+    # floor of 2^13 bounds the number of distinct compiled capacities
+    return 1 << max(13, (max(n, 1) - 1).bit_length())
+
+
+def extract_stream(reads: list[str], k: int, batch_reads: int = 65536,
+                   read_len: int | None = None):
+    """Host->device extraction in fixed-shape batches; returns flat (hi, lo).
+
+    Batching keeps [B, L] static: one XLA compilation regardless of read
+    count; the final partial batch is padded with invalid reads.
+    """
+    if not reads:
+        z = jnp.zeros((0,), dtype=jnp.uint32)
+        return z, z
+    L = read_len or max(len(r) for r in reads)
+    L = ((L + 63) // 64) * 64  # bucket read length: fewer compiled shapes
+    his, los = [], []
+    for i in range(0, len(reads), batch_reads):
+        chunk = reads[i : i + batch_reads]
+        # pad batch count to a power of two (>=256): static shapes, few compiles
+        b = batch_reads if len(reads) > batch_reads else \
+            1 << max(8, (len(chunk) - 1).bit_length())
+        codes = pack_reads(chunk, L)
+        if len(chunk) < b:
+            pad = np.full((b - len(chunk), L), 4, dtype=np.uint8)
+            codes = np.concatenate([codes, pad])
+        hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
+        his.append(hi)
+        los.append(lo)
+    return jnp.concatenate(his), jnp.concatenate(los)
+
+
+def count_reads(reads: list[str], params: AssemblyParams,
+                capacity: int | None = None, metrics: Metrics | None = None):
+    """reads -> counted k-mer table dict (count_kmers_device result).
+
+    Doubles capacity and retries on overflow (table sizes are data-dependent;
+    shapes must be static — SURVEY §7)."""
+    hi, lo = extract_stream(reads, params.k)
+    cap = capacity or _pow2_at_least(int(hi.shape[0]) or 1)
+    while True:
+        res = count_kmers_device(hi, lo, params.min_coverage, cap)
+        if not bool(res["overflow"]):
+            res["n_windows"] = int(hi.shape[0])
+            return res
+        if metrics:
+            metrics.log("capacity_overflow", capacity=cap, retry=2 * cap)
+        cap *= 2
+
+
+def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                          params, metrics: Metrics | None = None):
+    """Fixpoint loop (host-driven): tips then bubbles per round (SEMANTICS §5)."""
+    tip_len = jnp.int32(params.tip_len_eff)
+    bubble_len = jnp.int32(params.bubble_len_eff)
+    for rnd in range(params.max_rounds):
+        alive, c1 = clip_tips_pass(succ, okv_hi, okv_lo, counts, alive,
+                                   valid_node, tip_len)
+        alive, c2 = pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive,
+                                     valid_node, bubble_len)
+        changed = bool(c1) or bool(c2)
+        if metrics:
+            metrics.log("simplify_round", round=rnd, tips=bool(c1),
+                        bubbles=bool(c2), alive=int(alive.sum()))
+        if not changed:
+            break
+    return alive
+
+
+# kept as the simple name used elsewhere
+simplify_device = simplify_with_metrics
+
+
+def run_pipeline(reads: list[str], params: AssemblyParams,
+                 capacity: int | None = None,
+                 metrics: Metrics | None = None,
+                 ckpt: PhaseCheckpointer | None = None,
+                 profile_dir: str | None = None) -> dict:
+    """Full single-host pipeline with metrics/checkpoint/profiling.
+
+    Returns {"contigs": [...], "stats": {...}}.
+    """
+    metrics = metrics or Metrics(quiet=True)
+    ckpt = ckpt or PhaseCheckpointer(None, params)
+    stats: dict = {}
+
+    prof = (jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext())
+    with prof:
+        # ---- phase: count ----
+        saved = ckpt.load("count")
+        if saved is not None:
+            metrics.log("resume", phase="count")
+            table_hi = jnp.asarray(saved["table_hi"])
+            table_lo = jnp.asarray(saved["table_lo"])
+            counts = jnp.asarray(saved["counts"])
+            n_unique = jnp.int32(int(saved["n_unique"]))
+            stats["n_windows"] = int(saved["n_windows"])
+        else:
+            with metrics.phase("count") as info:
+                t0 = time.perf_counter()
+                res = count_reads(reads, params, capacity, metrics)
+                table_hi, table_lo = res["table_hi"], res["table_lo"]
+                counts, n_unique = res["counts"], res["n_unique"]
+                jax.block_until_ready(counts)
+                dt = time.perf_counter() - t0
+                stats["n_windows"] = res["n_windows"]
+                info["n_windows"] = res["n_windows"]
+                info["n_unique"] = int(n_unique)
+                info["kmers_per_s"] = round(res["n_windows"] / max(dt, 1e-9))
+            ckpt.save("count", table_hi=table_hi, table_lo=table_lo,
+                      counts=counts, n_unique=int(n_unique),
+                      n_windows=stats["n_windows"])
+        stats["n_unique"] = int(n_unique)
+
+        # ---- phase: build ----
+        with metrics.phase("build") as info:
+            succ, okv_hi, okv_lo = build_graph_device(
+                table_hi, table_lo, n_unique, params.k)
+            jax.block_until_ready(succ)
+            info["nodes"] = int(n_unique)
+
+        # ---- phase: simplify ----
+        saved = ckpt.load("simplify")
+        if saved is not None:
+            metrics.log("resume", phase="simplify")
+            alive = jnp.asarray(saved["alive"])
+        else:
+            with metrics.phase("simplify") as info:
+                cap = table_hi.shape[0]
+                valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
+                alive = jnp.ones((cap,), dtype=jnp.bool_)
+                alive = simplify_with_metrics(
+                    succ, okv_hi, okv_lo, counts, alive, valid_node, params,
+                    metrics)
+                jax.block_until_ready(alive)
+                info["alive"] = int(alive.sum())
+            ckpt.save("simplify", alive=alive)
+        stats["n_alive"] = int(alive.sum())
+
+        # ---- phase: contigs ----
+        with metrics.phase("contigs") as info:
+            cap = table_hi.shape[0]
+            valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
+            fs = final_chain_state(succ, okv_hi, okv_lo, counts, alive,
+                                   valid_node)
+            contigs = emit_contigs(fs, okv_hi, okv_lo, params.k,
+                                   params.min_contig_len)
+            info["n_contigs"] = len(contigs)
+            info["total_bp"] = sum(map(len, contigs))
+    stats["n_contigs"] = len(contigs)
+    return {"contigs": contigs, "stats": stats}
+
+
+def assemble_device(reads: list[str], params: AssemblyParams | None = None,
+                    capacity: int | None = None) -> list[str]:
+    """reads -> sorted canonical contigs, computed on the JAX backend.
+
+    Bit-identical to golden.assemble / tiny.assemble (SEMANTICS.md;
+    parity target of BASELINE.json:5).
+    """
+    params = params or AssemblyParams()
+    return run_pipeline(reads, params, capacity=capacity)["contigs"]

@@ -136,18 +136,22 @@ class Graph:
         for _ in range(rounds):
             q = q[q]
         in_cycle = alive_o & (prev_u[q] >= 0)
-        # cycle representative: min oriented id in cycle (min-doubling)
+        # cycle head: node with min oriented k-mer value (SEMANTICS §4;
+        # value-based so independent of table layout). Min-doubling carrying
+        # (value, node id); okv values are unique so the argmin is unique.
         if in_cycle.any():
-            mn = ids.copy()
+            mn_v = self.okv.copy()
+            mn_i = ids.copy()
             qq = p.copy()
             for _ in range(rounds):
-                mn = np.minimum(mn, mn[qq])
+                cand_v, cand_i = mn_v[qq], mn_i[qq]
+                take = cand_v < mn_v
+                mn_v = np.where(take, cand_v, mn_v)
+                mn_i = np.where(take, cand_i, mn_i)
                 qq = qq[qq]
-            rep = np.where(in_cycle, mn, -1)
-            # phase 2: break the cycle at its representative
+            # phase 2: break each cycle at its head
             prev2 = prev_u.copy()
-            reps = np.unique(rep[in_cycle])
-            prev2[reps] = -1
+            prev2[in_cycle & (mn_i == ids)] = -1
         else:
             prev2 = prev_u
         p = np.where(prev2 >= 0, prev2, ids)
@@ -170,19 +174,20 @@ class Graph:
         tail_of[head[is_tail]] = ids[is_tail]
         cov = np.zeros(n2, dtype=np.int64)
         np.add.at(cov, head[alive_o], self.counts[ids[alive_o] >> 1])
-        # twin head: rc(tail) for paths; min rc(node) over cycle for cycles
-        twin = np.full(n2, -1, dtype=np.int64)
-        ok_t = is_head & ~cyc_head
-        twin[ok_t] = tail_of[ok_t] ^ 1
+        # twin-head okv value: okv(rc(tail)) for paths; min okv over the RC
+        # node set for cycles (SEMANTICS §4 — values, not ids)
+        twin_okv = np.zeros(n2, dtype=_U64)
+        ok_t = is_head & ~cyc_head & (tail_of >= 0)
+        twin_okv[ok_t] = self.okv[tail_of[ok_t] ^ 1]
         if in_cycle.any():
-            tw = np.full(n2, n2, dtype=np.int64)
-            np.minimum.at(tw, head[in_cycle], ids[in_cycle] ^ 1)
-            twin[is_head & cyc_head] = tw[is_head & cyc_head]
+            tw = np.full(n2, np.iinfo(np.uint64).max, dtype=_U64)
+            np.minimum.at(tw, head[in_cycle], self.okv[ids[in_cycle] ^ 1])
+            twin_okv[is_head & cyc_head] = tw[is_head & cyc_head]
         return {
             "outdeg": outdeg, "usucc": usucc, "next_u": next_u,
             "head": head, "dist": dist, "is_head": is_head,
             "length": length, "tail_of": tail_of, "cov": cov,
-            "twin": twin, "cyc_head": cyc_head, "alive_o": alive_o,
+            "twin_okv": twin_okv, "cyc_head": cyc_head, "alive_o": alive_o,
         }
 
     def _kill_heads(self, st, doomed_heads_mask: np.ndarray) -> None:
@@ -234,7 +239,7 @@ class Graph:
         proc = (okv[p] < okv[s ^ 1]) | ((okv[p] == okv[s ^ 1]) & (okv[s] <= okv[p ^ 1]))
         # twin-dedupe pin for self-RC keyed groups (p == rc(s))
         selfrc = p == (s ^ 1)
-        primary = okv[hs] <= okv[st["twin"][hs]]
+        primary = okv[hs] <= st["twin_okv"][hs]
         keep_member = proc & (~selfrc | primary)
         hs, p, s = hs[keep_member], p[keep_member], s[keep_member]
         if hs.size < 2:
@@ -264,7 +269,7 @@ class Graph:
         n2 = 2 * self.n
         ids = np.arange(n2)
         is_head = st["is_head"]
-        primary = is_head & (self.okv[ids] <= self.okv[np.clip(st["twin"], 0, None)])
+        primary = is_head & (self.okv[ids] <= st["twin_okv"])
         alive_o = st["alive_o"]
         sel = alive_o & primary[np.clip(st["head"], 0, None)] & (st["head"] >= 0)
         if not sel.any():

@@ -78,10 +78,6 @@ class _Graph:
         w = self.next_unique(rc(v))
         return rc(w) if w is not None else None
 
-    def _oriented_id_key(self, v: str) -> tuple[str, int]:
-        """Sort key equal to the oriented node id order (canonical, strand)."""
-        c = _canon(v)
-        return (c, 0 if v == c else 1)
 
     def chains(self) -> list[_Chain]:
         """Partition alive oriented nodes into path chains + cycles (§4)."""
@@ -116,14 +112,16 @@ class _Graph:
                 cyc.append(cur)
                 visited.add(cur)
                 cur = self.next_unique(cur)
-            h = min(range(len(cyc)), key=lambda i: self._oriented_id_key(cyc[i]))
+            # cycle head = min oriented k-mer value (string order == packed
+            # value order), layout-independent (SEMANTICS §4)
+            h = min(range(len(cyc)), key=lambda i: cyc[i])
             chains.append(_Chain(cyc[h:] + cyc[:h], is_cycle=True))
         return chains
 
     def twin_head(self, ch: _Chain) -> str:
         if not ch.is_cycle:
             return rc(ch.tail)
-        return min((rc(v) for v in ch.nodes), key=self._oriented_id_key)
+        return min(rc(v) for v in ch.nodes)
 
     def is_primary(self, ch: _Chain) -> bool:
         return ch.head <= self.twin_head(ch)

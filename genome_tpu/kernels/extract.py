@@ -1,0 +1,65 @@
+"""T0/T1: read packing (host) + canonical k-mer window extraction (device).
+
+Replaces the reference's rolling k-mer iteration feeding `DNAMap.insert`
+(SURVEY.md §3.2) with a vectorized, jit-compiled window pack over static
+[B, L] read batches. Invalid windows (non-ACGT or padding) become the
+sentinel key (0xFFFFFFFF, 0xFFFFFFFF), which sorts after every real k-mer
+(valid keys have hi < 2^(2k-32)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genome_tpu.kernels import u64
+from genome_tpu.utils import dna
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+PAD_CODE = 4  # same as dna.INVALID
+
+
+def pack_reads(reads: list[str], length: int | None = None) -> np.ndarray:
+    """Host: list of read strings -> uint8 code matrix [B, L], padded with 4.
+
+    Reads longer than `length` are truncated; shorter ones padded (padding
+    yields invalid windows, so semantics match per-read extraction).
+    """
+    if not reads:
+        return np.full((0, length or 0), PAD_CODE, dtype=np.uint8)
+    L = length or max(len(r) for r in reads)
+    out = np.full((len(reads), L), PAD_CODE, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        c = dna.encode(r)[:L]
+        out[i, : c.size] = c
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_canonical_kmers(codes: jax.Array, k: int):
+    """[B, L] uint8 codes -> flat canonical k-mer stream ((hi, lo) uint32).
+
+    Returns (hi, lo) of shape [B*(L-k+1)]; invalid windows are SENTINEL.
+    """
+    codes = codes.astype(jnp.uint32)
+    B, L = codes.shape
+    nwin = L - k + 1
+    if nwin <= 0:
+        z = jnp.full((0,), SENTINEL, dtype=jnp.uint32)
+        return z, z
+    hi = jnp.zeros((B, nwin), dtype=jnp.uint32)
+    lo = jnp.zeros((B, nwin), dtype=jnp.uint32)
+    bad = jnp.zeros((B, nwin), dtype=jnp.int32)
+    for t in range(k):  # static unroll: k shifted adds, fused by XLA
+        c = codes[:, t : t + nwin]
+        hi, lo = u64.shl(hi, lo, 2)
+        lo = lo | (c & jnp.uint32(3))
+        bad = bad + (c >> jnp.uint32(2)).astype(jnp.int32)  # 1 iff code >= 4
+    ch, cl = u64.canonical(hi, lo, k)
+    invalid = bad > 0
+    ch = jnp.where(invalid, SENTINEL, ch)
+    cl = jnp.where(invalid, SENTINEL, cl)
+    return ch.reshape(-1), cl.reshape(-1)

@@ -1,0 +1,71 @@
+"""Device pipeline (graph build + simplify + emission) vs golden oracle —
+exact contig parity (SURVEY.md §4 tiers 3-4, BASELINE.json:8-10 analogs)."""
+
+import numpy as np
+import pytest
+
+from genome_tpu.assemble import assemble_device
+from genome_tpu.golden import assemble_golden
+from genome_tpu.golden.assembler import Graph as GoldenGraph
+from genome_tpu.golden.assembler import count_canonical_kmers
+from genome_tpu.io import random_genome, simulate_reads
+from genome_tpu.kernels import u64
+from genome_tpu.params import AssemblyParams
+
+from tests.test_golden import CASES, _case
+
+
+def test_build_graph_matches_golden():
+    import jax.numpy as jnp
+    from genome_tpu.graph.build import build_graph_device
+
+    k = 15
+    reads = simulate_reads(random_genome(800, seed=21), read_len=80,
+                           coverage=10, error_rate=0.01, seed=22)
+    kmers, counts = count_canonical_kmers(reads, k, 2)
+    gg = GoldenGraph(kmers, counts, k)
+
+    cap = kmers.size + 5  # deliberately non-pow2 with slack
+    th = np.zeros(cap, np.uint32)
+    tl = np.zeros(cap, np.uint32)
+    th[: kmers.size], tl[: kmers.size] = u64.from_u64_np(kmers)
+    succ, okv_hi, okv_lo = build_graph_device(
+        jnp.asarray(th), jnp.asarray(tl), jnp.int32(kmers.size), k)
+    succ = np.asarray(succ)
+    # valid rows match golden succ exactly
+    assert (succ[: 2 * kmers.size] == gg.succ).all()
+    # slack rows are all -1
+    assert (succ[2 * kmers.size :] == -1).all()
+    # oriented kmer values match
+    got = u64.to_u64_np(np.asarray(okv_hi)[: 2 * kmers.size],
+                        np.asarray(okv_lo)[: 2 * kmers.size])
+    assert (got == gg.okv).all()
+
+
+@pytest.mark.parametrize("case", CASES, ids=[f"case{c[0]}" for c in CASES])
+def test_device_assembly_matches_golden(case):
+    _, reads, params = _case(*case)
+    assert assemble_device(reads, params) == assemble_golden(reads, params)
+
+
+def test_device_perfect_circular():
+    n, k = 1200, 21
+    g = random_genome(n, seed=7)
+    reads = simulate_reads(g, read_len=100, coverage=30, error_rate=0.0,
+                           circular=True, seed=8)
+    params = AssemblyParams(k=k, min_coverage=1)
+    got = assemble_device(reads, params)
+    assert got == assemble_golden(reads, params)
+    assert len(got) == 1 and len(got[0]) == n + k - 1
+
+
+def test_device_empty():
+    params = AssemblyParams(k=11)
+    assert assemble_device([], params) == []
+    assert assemble_device(["ACGT"], params) == []
+
+
+def test_device_capacity_overflow_retry():
+    _, reads, params = _case(0, 300, 50, 10, 0.00, False, 11, 1)
+    small = assemble_device(reads, params, capacity=16)  # forces retries
+    assert small == assemble_golden(reads, params)
