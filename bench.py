@@ -1,0 +1,112 @@
+"""Benchmark harness: headline k-mers/sec/chip for count+build
+(BASELINE.json:2). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured throughput over the driver-set target of 80% of
+the HBM roofline for 6-pass radix counting (~96 B/k-mer; BASELINE.md) on
+the detected chip — the reference itself has no published numbers
+(BASELINE.json:13 `published: {}`).
+
+Workload: simulated E. coli-scale read set (genome 4.6 Mbp, 100 bp reads,
+~24x coverage) generated as code matrices host-side; timed region is the
+device pipeline extract -> canonical -> sort -> segmented-reduce count ->
+successor build, excluding host IO. Scale with BENCH_SCALE (default 1.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# chip HBM bandwidth table (B/s); fallback is v5e-class
+_HBM = {
+    "v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
+    "v4": 1228e9, "v5p": 2765e9, "v6e": 1640e9, "v6 lite": 1640e9,
+}
+_RADIX_BYTES_PER_KMER = 96.0  # 6 passes x (8B read + 8B write), BASELINE.md
+
+
+def _detect_bw(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, bw in _HBM.items():
+        if key in kind:
+            return bw
+    return 819e9
+
+
+def main() -> int:
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    import jax
+    import jax.numpy as jnp
+    from genome_tpu.graph.build import build_graph_device
+    from genome_tpu.kernels.count import count_kmers_device
+    from genome_tpu.kernels.extract import extract_canonical_kmers
+
+    dev = jax.devices()[0]
+    bw = _detect_bw(dev)
+
+    k = 21
+    genome_len = int(4_600_000 * scale)
+    read_len = 100
+    num_reads = int(genome_len * 24 / read_len)
+    batch = 1 << 17  # reads per device batch
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    starts = rng.integers(0, genome_len - read_len + 1, size=num_reads)
+    capacity = 1 << max(13, int(np.ceil(np.log2(genome_len * 1.5))))
+
+    def batches():
+        for i in range(0, num_reads, batch):
+            s = starts[i : i + batch]
+            if s.size < batch:
+                s = np.concatenate([s, np.zeros(batch - s.size, np.int64)])
+            yield genome[s[:, None] + np.arange(read_len)[None, :]]
+
+    @jax.jit
+    def count_build(his, los):
+        res = count_kmers_device(his, los, 2, capacity)
+        succ, okv_hi, okv_lo = build_graph_device(
+            res["table_hi"], res["table_lo"], res["n_unique"], k)
+        return res["n_unique"], res["overflow"], succ
+
+    def run():
+        his, los = [], []
+        for codes in batches():
+            hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
+            his.append(hi)
+            los.append(lo)
+        n_uni, ovf, succ = count_build(jnp.concatenate(his),
+                                       jnp.concatenate(los))
+        jax.block_until_ready(succ)
+        return int(n_uni), bool(ovf)
+
+    run()  # warmup: compile everything
+    t0 = time.perf_counter()
+    n_uni, ovf = run()
+    dt = time.perf_counter() - t0
+    if ovf:
+        print(json.dumps({"metric": "kmers_per_sec_per_chip", "value": 0,
+                          "unit": "kmers/s", "vs_baseline": 0.0,
+                          "error": "capacity overflow"}))
+        return 1
+
+    n_windows = ((num_reads + batch - 1) // batch) * batch * (read_len - k + 1)
+    value = n_windows / dt
+    target = 0.8 * bw / _RADIX_BYTES_PER_KMER
+    print(json.dumps({
+        "metric": "kmers_per_sec_per_chip_count_build",
+        "value": round(value),
+        "unit": "kmers/s",
+        "vs_baseline": round(value / target, 4),
+    }))
+    print(f"# device={dev.device_kind} windows={n_windows} "
+          f"unique={n_uni} wall_s={dt:.3f} hbm_target={target:.3e}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,7 +83,7 @@ class PhaseCheckpointer:
         try:
             with np.load(self._phase_file(phase)) as z:
                 arrays = {k: z[k] for k in z.files}
-        except OSError:
+        except Exception:  # corrupt/partial npz (BadZipFile, EOFError, ...)
             return None
         if _content_hash(arrays) != man.get("content_hash"):
             return None  # corrupted/partial write -> recompute

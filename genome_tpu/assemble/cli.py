@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k-mer table capacity (default: auto with retry)")
     p.add_argument("--backend", choices=["device", "golden"], default="device",
                    help="device = JAX/TPU pipeline, golden = NumPy reference")
+    p.add_argument("--io", choices=["native", "python"], default="native",
+                   help="input parser: native C++ fast path (if built) or "
+                        "pure Python (golden backend always uses python)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="directory for phase-boundary checkpoints")
     p.add_argument("--resume", action="store_true",
@@ -63,16 +66,32 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     metrics = Metrics(path=args.metrics, quiet=args.quiet)
-    reads: list[str] = []
+    use_native = args.io == "native" and args.backend == "device"
+    reads = None
     with metrics.phase("read_input") as info:
-        for path in args.reads:
-            try:
-                reads.extend(read_fastx(path))
-            except (OSError, ValueError) as e:
-                print(f"error: {path}: {e}", file=sys.stderr)
-                return 2
-        info["n_reads"] = len(reads)
-        info["total_bp"] = sum(map(len, reads))
+        try:
+            if use_native:
+                import numpy as np
+                from genome_tpu.io.native import parse_fastx_codes
+                mats = [parse_fastx_codes(p) for p in args.reads]
+                L = max((m.shape[1] for m in mats), default=0)
+                rows = sum(m.shape[0] for m in mats)
+                reads = np.full((rows, L), 4, dtype=np.uint8)
+                at = 0
+                for m in mats:
+                    reads[at : at + m.shape[0], : m.shape[1]] = m
+                    at += m.shape[0]
+                info["n_reads"] = rows
+                info["total_bp"] = int((reads < 4).sum())
+            else:
+                reads = []
+                for path in args.reads:
+                    reads.extend(read_fastx(path))
+                info["n_reads"] = len(reads)
+                info["total_bp"] = sum(map(len, reads))
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
     if args.resume and not args.checkpoint_dir:
         print("error: --resume requires --checkpoint-dir", file=sys.stderr)

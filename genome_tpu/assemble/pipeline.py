@@ -34,13 +34,17 @@ def _pow2_at_least(n: int) -> int:
     return 1 << max(13, (max(n, 1) - 1).bit_length())
 
 
-def extract_stream(reads: list[str], k: int, batch_reads: int = 65536,
+def extract_stream(reads, k: int, batch_reads: int = 65536,
                    read_len: int | None = None):
     """Host->device extraction in fixed-shape batches; returns flat (hi, lo).
 
-    Batching keeps [B, L] static: one XLA compilation regardless of read
-    count; the final partial batch is padded with invalid reads.
+    `reads` is a list of strings or a pre-parsed uint8 code matrix [R, L]
+    (native-IO fast path). Batching keeps [B, L] static: one XLA
+    compilation regardless of read count; the final partial batch is
+    padded with invalid reads.
     """
+    if isinstance(reads, np.ndarray):
+        return _extract_stream_codes(reads, k, batch_reads)
     if not reads:
         z = jnp.zeros((0,), dtype=jnp.uint32)
         return z, z
@@ -57,6 +61,26 @@ def extract_stream(reads: list[str], k: int, batch_reads: int = 65536,
             pad = np.full((b - len(chunk), L), 4, dtype=np.uint8)
             codes = np.concatenate([codes, pad])
         hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
+        his.append(hi)
+        los.append(lo)
+    return jnp.concatenate(his), jnp.concatenate(los)
+
+
+def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int):
+    """Code-matrix variant of extract_stream (same batching/padding)."""
+    r = codes.shape[0]
+    if r == 0 or codes.shape[1] < k:
+        z = jnp.zeros((0,), dtype=jnp.uint32)
+        return z, z
+    L = ((codes.shape[1] + 63) // 64) * 64
+    his, los = [], []
+    for i in range(0, r, batch_reads):
+        chunk = codes[i : i + batch_reads]
+        b = batch_reads if r > batch_reads else \
+            1 << max(8, (chunk.shape[0] - 1).bit_length())
+        buf = np.full((b, L), 4, dtype=np.uint8)
+        buf[: chunk.shape[0], : codes.shape[1]] = chunk
+        hi, lo = extract_canonical_kmers(jnp.asarray(buf), k)
         his.append(hi)
         los.append(lo)
     return jnp.concatenate(his), jnp.concatenate(los)

@@ -32,8 +32,10 @@ def searchsorted_pair(table_hi, table_lo, n_valid, qh, ql):
     """
     capacity = table_hi.shape[0]
     steps = max(1, (capacity - 1).bit_length())
-    lo_b = jnp.zeros(qh.shape, dtype=I32)
-    hi_b = jnp.full(qh.shape, n_valid, dtype=I32)
+    # derive carries from the (possibly shard-varying) inputs so the fori
+    # carry types match under shard_map's varying-manual-axes tracking
+    lo_b = (qh & jnp.uint32(0)).astype(I32)
+    hi_b = lo_b + jnp.asarray(n_valid, I32)
 
     def body(_, carry):
         lo_b, hi_b = carry

@@ -1,0 +1,137 @@
+"""ctypes binding for the native FASTA/FASTQ parser (T0 fast path).
+
+Compiles genome_tpu/io/native/fastx_native.cpp on first use with g++
+(cached under ~/.cache/genome_tpu, keyed by source hash) and falls back to
+the pure-Python parser transparently if no toolchain is available —
+correctness never depends on the native path (same contract, CI-compared).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import gzip
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "fastx_native.cpp")
+_LIB = None
+_TRIED = False
+
+_ERRORS = {
+    -1: "empty input",
+    -2: "not FASTA/FASTQ",
+    -3: "truncated record",
+    -4: "row overflow",
+}
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("GENOME_TPU_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "genome_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), f"fastx_native_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, "fastx_native.so")
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               _SRC, "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        os.replace(tmp, so_path)
+    return so_path
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.gt_scan.restype = ctypes.c_int64
+    lib.gt_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                            ctypes.POINTER(ctypes.c_int64),
+                            ctypes.POINTER(ctypes.c_int64)]
+    lib.gt_parse.restype = ctypes.c_int64
+    lib.gt_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _read_bytes(path: str) -> bytes:
+    if os.fspath(path).endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _parse_python(data: bytes, length: int | None) -> np.ndarray:
+    """Fallback: reuse the Python parser + encoder."""
+    import io as _io
+    from genome_tpu.io.fastx import _iter_fasta, _iter_fastq
+    from genome_tpu.kernels.extract import pack_reads
+
+    text = _io.TextIOWrapper(_io.BytesIO(data))
+    first = text.read(1)
+    if not first:
+        return np.full((0, length or 0), 4, dtype=np.uint8)
+    if first == ">":
+        seqs = [s for _, s in _iter_fasta(text)]
+    elif first == "@":
+        seqs = [s for _, s in _iter_fastq(text)]
+    else:
+        raise ValueError("not FASTA/FASTQ")
+    return pack_reads(seqs, length)
+
+
+def parse_fastx_codes(path: str, length: int | None = None) -> np.ndarray:
+    """FASTA/FASTQ file -> uint8 code matrix [records, L] (pad/invalid=4).
+
+    Uses the C++ parser when available; Python fallback otherwise.
+    `length` pins L (longer sequences truncated); default = max record len.
+    """
+    data = _read_bytes(path)
+    lib = _load()
+    if lib is None:
+        return _parse_python(data, length)
+    n = len(data)
+    nrec = ctypes.c_int64()
+    maxlen = ctypes.c_int64()
+    rc = lib.gt_scan(data, n, ctypes.byref(nrec), ctypes.byref(maxlen))
+    if rc < 0:
+        raise ValueError(f"{path}: {_ERRORS.get(rc, f'parse error {rc}')}")
+    rows = nrec.value
+    L = length if length is not None else int(maxlen.value)
+    out = np.empty((rows, max(L, 1)), dtype=np.int8)
+    if rows:
+        got = lib.gt_parse(data, n, out.ctypes.data_as(ctypes.c_void_p),
+                           rows, out.shape[1])
+        if got < 0:
+            raise ValueError(f"{path}: {_ERRORS.get(got, f'parse error {got}')}")
+        assert got == rows, "scan/parse record count mismatch"
+    return out.view(np.uint8)[:, :L] if L else out.view(np.uint8)

@@ -1,0 +1,167 @@
+// Native FASTA/FASTQ parser -> 2-bit-coded read matrix (T0 fast path).
+//
+// Reference analog: read ingestion on the JVM (SURVEY.md §2.1 R1). Host
+// parsing is the one genuinely CPU-bound stage of the TPU pipeline, so it
+// gets the native treatment: a single pass over the mmap'd/read file
+// buffer, branch-light, writing base codes (A=0 C=1 G=2 T=3, other=4)
+// directly into the caller-allocated [rows, L] matrix that feeds
+// genome_tpu.kernels.extract (padding value 4 == invalid, SEMANTICS §1).
+//
+// C ABI (ctypes-friendly), no exceptions across the boundary:
+//   gt_scan(buf, n, *nrecords, *maxlen) -> 0 ok, negative = error code
+//   gt_parse(buf, n, out, rows, L)      -> records written, negative = error
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see cio.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int8_t kInvalid = 4;
+
+// 256-entry base->code LUT; everything not ACGT/acgt is 4.
+struct Lut {
+    int8_t t[256];
+    constexpr Lut() : t{} {
+        for (int i = 0; i < 256; ++i) t[i] = kInvalid;
+        t['A'] = t['a'] = 0;
+        t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2;
+        t['T'] = t['t'] = 3;
+    }
+};
+constexpr Lut kLut;
+
+enum : int64_t {
+    ERR_EMPTY = -1,
+    ERR_FORMAT = -2,
+    ERR_TRUNCATED = -3,
+    ERR_OVERFLOW = -4,
+};
+
+inline const char* next_line(const char* p, const char* end) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    return nl ? nl + 1 : end;
+}
+
+// Walk one FASTA record starting at '>'；returns pointer past the record,
+// sequence length via *len (newlines/CR skipped).
+const char* fasta_record(const char* p, const char* end, int64_t* len) {
+    p = next_line(p, end);  // skip header
+    int64_t n = 0;
+    while (p < end && *p != '>') {
+        const char* nl = static_cast<const char*>(
+            memchr(p, '\n', static_cast<size_t>(end - p)));
+        const char* stop = nl ? nl : end;
+        n += stop - p;
+        if (stop > p && stop[-1] == '\r') --n;
+        p = nl ? nl + 1 : end;
+    }
+    *len = n;
+    return p;
+}
+
+// Walk one FASTQ record starting at '@'; seq is a single line.
+const char* fastq_record(const char* p, const char* end, int64_t* len,
+                         bool* ok) {
+    p = next_line(p, end);  // header
+    const char* seq = p;
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    if (!nl) { *ok = false; return end; }
+    int64_t n = nl - seq;
+    if (n > 0 && nl[-1] == '\r') --n;
+    p = nl + 1;
+    if (p >= end || *p != '+') { *ok = false; return end; }
+    p = next_line(p, end);           // '+' line
+    if (p >= end) { *ok = false; return end; }
+    p = next_line(p, end);           // quality line (must exist)
+    *len = n;
+    *ok = true;
+    return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// First pass: count records and the maximum sequence length.
+int64_t gt_scan(const char* buf, int64_t n, int64_t* nrecords,
+                int64_t* maxlen) {
+    if (n <= 0) { *nrecords = 0; *maxlen = 0; return 0; }
+    const char* p = buf;
+    const char* end = buf + n;
+    const bool fastq = (*p == '@');
+    if (!fastq && *p != '>') return ERR_FORMAT;
+    int64_t count = 0, mx = 0;
+    while (p < end) {
+        if (*p == '\n' || *p == '\r') { ++p; continue; }
+        int64_t len = 0;
+        if (fastq) {
+            if (*p != '@') return ERR_FORMAT;
+            bool ok = true;
+            p = fastq_record(p, end, &len, &ok);
+            if (!ok) return ERR_TRUNCATED;
+        } else {
+            if (*p != '>') return ERR_FORMAT;
+            p = fasta_record(p, end, &len);
+        }
+        ++count;
+        if (len > mx) mx = len;
+    }
+    *nrecords = count;
+    *maxlen = mx;
+    return 0;
+}
+
+// Second pass: decode sequences into out[rows, L], padded with 4.
+// Sequences longer than L are truncated. Returns records written.
+int64_t gt_parse(const char* buf, int64_t n, int8_t* out, int64_t rows,
+                 int64_t L) {
+    if (n <= 0) return 0;
+    const char* p = buf;
+    const char* end = buf + n;
+    const bool fastq = (*p == '@');
+    if (!fastq && *p != '>') return ERR_FORMAT;
+    memset(out, kInvalid, static_cast<size_t>(rows * L));
+    int64_t row = 0;
+    while (p < end) {
+        if (*p == '\n' || *p == '\r') { ++p; continue; }
+        if (row >= rows) return ERR_OVERFLOW;
+        int8_t* dst = out + row * L;
+        int64_t written = 0;
+        if (fastq) {
+            if (*p != '@') return ERR_FORMAT;
+            p = next_line(p, end);  // header
+            const char* nl = static_cast<const char*>(
+                memchr(p, '\n', static_cast<size_t>(end - p)));
+            if (!nl) return ERR_TRUNCATED;
+            const char* stop = (nl[-1] == '\r') ? nl - 1 : nl;
+            for (const char* q = p; q < stop && written < L; ++q)
+                dst[written++] = kLut.t[static_cast<uint8_t>(*q)];
+            p = nl + 1;
+            if (p >= end || *p != '+') return ERR_TRUNCATED;
+            p = next_line(p, end);
+            if (p >= end) return ERR_TRUNCATED;
+            p = next_line(p, end);  // qualities
+        } else {
+            if (*p != '>') return ERR_FORMAT;
+            p = next_line(p, end);  // header
+            while (p < end && *p != '>') {
+                const char* nl = static_cast<const char*>(
+                    memchr(p, '\n', static_cast<size_t>(end - p)));
+                const char* stop = nl ? nl : end;
+                if (stop > p && stop[-1] == '\r') --stop;
+                for (const char* q = p; q < stop && written < L; ++q)
+                    dst[written++] = kLut.t[static_cast<uint8_t>(*q)];
+                p = nl ? nl + 1 : end;
+            }
+        }
+        ++row;
+    }
+    return row;
+}
+
+}  // extern "C"

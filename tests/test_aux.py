@@ -1,0 +1,111 @@
+"""Aux subsystem tests: CLI, fault injection / resume, determinism CI
+(SURVEY.md §5.2-§5.4, §4.6)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from genome_tpu.assemble import cli
+from genome_tpu.io import random_genome, simulate_reads, read_fastx
+
+
+@pytest.fixture()
+def fastq(tmp_path):
+    reads = simulate_reads(random_genome(600, seed=50), read_len=70,
+                           coverage=12, error_rate=0.01, seed=51)
+    p = tmp_path / "reads.fastq"
+    with open(p, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    return p
+
+
+def _run(args):
+    return cli.main([str(a) for a in args])
+
+
+def test_cli_native_vs_python_io_identical(fastq, tmp_path):
+    a, b = tmp_path / "a.fasta", tmp_path / "b.fasta"
+    assert _run([fastq, "-o", a, "--k", "15", "--io", "native", "--quiet"]) == 0
+    assert _run([fastq, "-o", b, "--k", "15", "--io", "python", "--quiet"]) == 0
+    assert read_fastx(a) == read_fastx(b)
+    assert len(read_fastx(a)) > 0
+
+
+def test_cli_device_vs_golden_identical(fastq, tmp_path):
+    a, b = tmp_path / "a.fasta", tmp_path / "g.fasta"
+    assert _run([fastq, "-o", a, "--k", "15", "--quiet"]) == 0
+    assert _run([fastq, "-o", b, "--k", "15", "--backend", "golden",
+                 "--quiet"]) == 0
+    assert read_fastx(a) == read_fastx(b)
+
+
+def test_cli_metrics_jsonl(fastq, tmp_path):
+    m = tmp_path / "m.jsonl"
+    assert _run([fastq, "-o", tmp_path / "o.fasta", "--k", "15",
+                 "--metrics", m, "--quiet"]) == 0
+    events = [json.loads(line) for line in open(m)]
+    phases = {e.get("phase") for e in events if e["event"] == "phase_end"}
+    assert {"read_input", "count", "build", "simplify", "contigs"} <= phases
+    done = [e for e in events if e["event"] == "done"]
+    assert done and done[0]["n_contigs"] > 0
+
+
+def test_determinism_same_input_twice(fastq, tmp_path):
+    a, b = tmp_path / "a.fasta", tmp_path / "b.fasta"
+    assert _run([fastq, "-o", a, "--quiet"]) == 0
+    assert _run([fastq, "-o", b, "--quiet"]) == 0
+    assert open(a).read() == open(b).read()
+
+
+def test_crash_between_phases_resume(fastq, tmp_path):
+    """Fault injection: job dies after counting; restart reuses the count
+    checkpoint and completes identically (SURVEY §5.3)."""
+    from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+    from genome_tpu.assemble.pipeline import count_reads, run_pipeline
+    from genome_tpu.params import AssemblyParams
+
+    reads = read_fastx(fastq)
+    params = AssemblyParams(k=15)
+    ck = tmp_path / "ck"
+
+    # "crashed" job: only the count phase completed
+    ckpt = PhaseCheckpointer(str(ck), params)
+    res = count_reads(reads, params)
+    ckpt.save("count", table_hi=res["table_hi"], table_lo=res["table_lo"],
+              counts=res["counts"], n_unique=int(res["n_unique"]),
+              n_windows=res["n_windows"])
+
+    out = run_pipeline(reads, params, ckpt=PhaseCheckpointer(str(ck), params))
+    full = run_pipeline(reads, params)
+    assert out["contigs"] == full["contigs"]
+
+
+def test_corrupted_checkpoint_recomputed(fastq, tmp_path):
+    from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+    from genome_tpu.assemble.pipeline import run_pipeline
+    from genome_tpu.params import AssemblyParams
+
+    reads = read_fastx(fastq)
+    params = AssemblyParams(k=15)
+    ck = tmp_path / "ck"
+    base = run_pipeline(reads, params, ckpt=PhaseCheckpointer(str(ck), params))
+    # corrupt the simplify artifact in place
+    target = ck / "simplify.shard0.npz"
+    data = target.read_bytes()
+    target.write_bytes(data[: len(data) // 2])
+    again = run_pipeline(reads, params, ckpt=PhaseCheckpointer(str(ck), params))
+    assert again["contigs"] == base["contigs"]
+
+
+def test_checkpoint_ignored_on_shard_count_change(fastq, tmp_path):
+    from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+    from genome_tpu.params import AssemblyParams
+    params = AssemblyParams(k=15)
+    a = PhaseCheckpointer(str(tmp_path / "ck"), params, shard=0, num_shards=1)
+    a.save("count", x=np.arange(4))
+    b = PhaseCheckpointer(str(tmp_path / "ck"), params, shard=0, num_shards=2)
+    assert b.load("count") is None
+    assert a.load("count") is not None

@@ -1,0 +1,96 @@
+"""Distributed (shard_map) tier tests on the virtual 8-device CPU mesh
+(SURVEY.md §4.5; BASELINE.json:11 partitioned-assembly analog)."""
+
+import numpy as np
+import pytest
+
+from genome_tpu.dist import assemble_sharded, owner_of_np
+from genome_tpu.golden import assemble_golden
+from genome_tpu.golden.assembler import count_canonical_kmers
+from genome_tpu.io import random_genome, simulate_reads
+from genome_tpu.kernels import u64
+from genome_tpu.params import AssemblyParams
+
+from tests.test_golden import _case
+
+
+def test_owner_hash_jnp_matches_np():
+    import jax.numpy as jnp
+    from genome_tpu.dist.partition import owner_of
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 1 << 42, size=1000, dtype=np.uint64)
+    hi, lo = u64.from_u64_np(v)
+    got = np.asarray(owner_of(jnp.asarray(hi), jnp.asarray(lo), 8))
+    assert (got == owner_of_np(v, 8)).all()
+    # rough balance check
+    counts = np.bincount(got, minlength=8)
+    assert counts.min() > 50
+
+
+@pytest.mark.parametrize("num_shards", [1, 2, 4, 8])
+def test_sharded_count_matches_golden(num_shards):
+    import jax, jax.numpy as jnp
+    from jax.sharding import Mesh
+    from genome_tpu.dist.count import make_sharded_count
+    from genome_tpu.assemble.pipeline import extract_stream
+    from genome_tpu.dist.assemble import shard_reads
+    from genome_tpu.kernels.extract import SENTINEL
+
+    k, mincov = 21, 2
+    reads = simulate_reads(random_genome(1500, seed=31), read_len=80,
+                           coverage=10, error_rate=0.01, seed=32)
+    mesh = Mesh(np.array(jax.devices()[:num_shards]), ("shard",))
+    parts = []
+    for chunk in shard_reads(reads, num_shards):
+        hi, lo = extract_stream(chunk, k)
+        parts.append((np.asarray(hi), np.asarray(lo)))
+    m = max(p[0].size for p in parts)
+    ghi = np.full((num_shards, m), SENTINEL, dtype=np.uint32)
+    glo = np.full((num_shards, m), SENTINEL, dtype=np.uint32)
+    for r, (h, l) in enumerate(parts):
+        ghi[r, : h.size] = h
+        glo[r, : l.size] = l
+    counter = make_sharded_count(mesh, "shard", bucket_cap=m + 64,
+                                 local_capacity=8192)
+    th, tl, cnts, n_uni, ovf = counter(
+        ghi.reshape(-1), glo.reshape(-1), jnp.asarray([mincov], jnp.uint32))
+    assert not bool(np.asarray(ovf).any())
+    # merge shard tables -> multiset equality with golden counting
+    th, tl, cnts = np.asarray(th), np.asarray(tl), np.asarray(cnts)
+    n_uni = np.asarray(n_uni)
+    got = []
+    for r in range(num_shards):
+        a, b = r * 8192, r * 8192 + n_uni[r]
+        km = u64.to_u64_np(th[a:b], tl[a:b])
+        assert (np.diff(km.astype(np.uint64)) > 0).all()  # sorted per shard
+        assert (owner_of_np(km, num_shards) == r).all()   # correctly owned
+        got.append(np.stack([km, cnts[a:b].astype(np.uint64)], 1))
+    got = np.concatenate(got)
+    got = got[np.argsort(got[:, 0])]
+    exp_k, exp_c = count_canonical_kmers(reads, k, mincov)
+    assert got.shape[0] == exp_k.size
+    assert (got[:, 0] == exp_k).all()
+    assert (got[:, 1] == exp_c.astype(np.uint64)).all()
+
+
+@pytest.mark.parametrize("num_shards", [2, 4, 8])
+def test_sharded_assembly_matches_golden(num_shards):
+    _, reads, params = _case(4, 800, 70, 18, 0.015, True, 15, 2)
+    got = assemble_sharded(reads, params, num_shards=num_shards)
+    assert got == assemble_golden(reads, params)
+
+
+def test_sharded_assembly_read_order_invariance():
+    _, reads, params = _case(1, 500, 60, 15, 0.01, False, 11, 2)
+    rng = np.random.default_rng(5)
+    shuffled = list(reads)
+    rng.shuffle(shuffled)
+    a = assemble_sharded(reads, params, num_shards=4)
+    b = assemble_sharded(shuffled, params, num_shards=4)
+    assert a == b == assemble_golden(reads, params)
+
+
+def test_sharded_capacity_retry():
+    _, reads, params = _case(0, 300, 50, 10, 0.00, False, 11, 1)
+    got = assemble_sharded(reads, params, num_shards=2, local_capacity=64)
+    assert got == assemble_golden(reads, params)

@@ -1,0 +1,108 @@
+"""Native (C++) FASTA/FASTQ parser vs the Python parser — identical code
+matrices on every fixture (SURVEY.md §2.4 native-layer obligation)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from genome_tpu.io import random_genome, simulate_reads
+from genome_tpu.io.fastx import read_fastx
+from genome_tpu.io.native import native_available, parse_fastx_codes
+from genome_tpu.io.native.cio import _parse_python, _read_bytes
+from genome_tpu.kernels.extract import pack_reads
+
+needs_native = pytest.mark.skipif(not native_available(),
+                                  reason="no C++ toolchain")
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i} extra meta\n{r}\n+\n{'I' * len(r)}\n")
+
+
+def _expect(path, length=None):
+    return pack_reads(read_fastx(path), length)
+
+
+@needs_native
+def test_native_fastq_matches_python(tmp_path):
+    reads = simulate_reads(random_genome(500, seed=1), read_len=80,
+                           coverage=5, seed=2)
+    reads[3] = reads[3][:20] + "NnxX" + reads[3][24:]  # odd letters
+    p = tmp_path / "r.fastq"
+    _write_fastq(p, reads)
+    got = parse_fastx_codes(str(p))
+    assert (got == _expect(p)).all()
+
+
+@needs_native
+def test_native_fasta_multiline_matches_python(tmp_path):
+    p = tmp_path / "g.fasta"
+    g1, g2 = random_genome(137, seed=3), random_genome(61, seed=4)
+    with open(p, "w") as f:
+        f.write(">a desc\n")
+        for i in range(0, len(g1), 50):
+            f.write(g1[i : i + 50] + "\n")
+        f.write(">b\n" + g2 + "\n")
+    got = parse_fastx_codes(str(p))
+    assert got.shape == (2, 137)
+    assert (got == _expect(p)).all()
+
+
+@needs_native
+def test_native_gzip(tmp_path):
+    reads = ["ACGTACGT", "TTTT"]
+    p = tmp_path / "r.fastq.gz"
+    with gzip.open(p, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    got = parse_fastx_codes(str(p))
+    assert (got == _expect(p)).all()
+
+
+@needs_native
+def test_native_crlf(tmp_path):
+    p = tmp_path / "crlf.fasta"
+    with open(p, "wb") as f:
+        f.write(b">a\r\nACGT\r\nGG\r\n>b\r\nTT\r\n")
+    got = parse_fastx_codes(str(p))
+    assert (got == pack_reads(["ACGTGG", "TT"])).all()
+
+
+@needs_native
+def test_native_fixed_length_truncation(tmp_path):
+    p = tmp_path / "r.fastq"
+    _write_fastq(p, ["ACGTACGTAC", "GG"])
+    got = parse_fastx_codes(str(p), length=4)
+    assert got.shape == (2, 4)
+    assert (got == pack_reads(["ACGTACGTAC", "GG"], 4)).all()
+
+
+@needs_native
+def test_native_errors(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("hello\n")
+    with pytest.raises(ValueError, match="not FASTA/FASTQ"):
+        parse_fastx_codes(str(bad))
+    trunc = tmp_path / "t.fastq"
+    trunc.write_text("@a\nACGT\n+\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_fastx_codes(str(trunc))
+
+
+@needs_native
+def test_native_empty_file(tmp_path):
+    p = tmp_path / "e.fa"
+    p.write_text("")
+    assert parse_fastx_codes(str(p)).shape[0] == 0
+
+
+def test_python_fallback_matches(tmp_path):
+    reads = simulate_reads(random_genome(300, seed=9), read_len=60,
+                           coverage=3, seed=10)
+    p = tmp_path / "r.fastq"
+    _write_fastq(p, reads)
+    got = _parse_python(_read_bytes(str(p)), None)
+    assert (got == _expect(p)).all()
