@@ -38,8 +38,13 @@ def _detect_bw(device) -> float:
 
 def main() -> int:
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp"))
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     from genome_tpu.graph.build import build_graph_device
     from genome_tpu.kernels.count import count_kmers_device
     from genome_tpu.kernels.extract import extract_canonical_kmers
@@ -70,7 +75,9 @@ def main() -> int:
         res = count_kmers_device(his, los, 2, capacity)
         succ, okv_hi, okv_lo = build_graph_device(
             res["table_hi"], res["table_lo"], res["n_unique"], k)
-        return res["n_unique"], res["overflow"], succ
+        # reduce outputs to scalars: forces real execution even on runtimes
+        # where block_until_ready resolves without materializing (axon relay)
+        return res["n_unique"], res["overflow"], succ.sum()
 
     def run():
         his, los = [], []
@@ -78,15 +85,17 @@ def main() -> int:
             hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
             his.append(hi)
             los.append(lo)
-        n_uni, ovf, succ = count_build(jnp.concatenate(his),
-                                       jnp.concatenate(los))
-        jax.block_until_ready(succ)
-        return int(n_uni), bool(ovf)
+        n_uni, ovf, chk = count_build(jnp.concatenate(his),
+                                      jnp.concatenate(los))
+        return int(n_uni), bool(ovf), int(chk)
+
+    def timed_run():
+        t0 = time.perf_counter()
+        n_uni, ovf, _ = run()
+        return time.perf_counter() - t0, n_uni, ovf
 
     run()  # warmup: compile everything
-    t0 = time.perf_counter()
-    n_uni, ovf = run()
-    dt = time.perf_counter() - t0
+    dt, n_uni, ovf = min(timed_run() for _ in range(3))
     if ovf:
         print(json.dumps({"metric": "kmers_per_sec_per_chip", "value": 0,
                           "unit": "kmers/s", "vs_baseline": 0.0,

@@ -1,0 +1,118 @@
+"""T3: multi-host (multi-process) assembly (SURVEY.md §2.3, §3.4).
+
+Reference analog: `PartitionedDNAMap`'s JVM cluster — here it is
+`jax.distributed.initialize()` + one global mesh over every chip of every
+host; the shard_map programs in dist/count.py and dist/build.py are
+already SPMD, so they run unchanged over a process-spanning mesh with the
+all_to_all collectives riding ICI within a host and DCN across hosts.
+
+Per-process flow (SPMD, every host runs the same program on its read
+shard):  local reads -> extract -> global sharded arrays
+         -> sharded count/build (collectives) -> process_allgather of the
+         surviving graph -> replicated simplify -> process 0 emits.
+
+Tested in CI with the localhost fake-cluster pattern (SURVEY §4.5): two
+processes, each with 4 virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from genome_tpu.params import AssemblyParams
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int,
+               local_device_count: int | None = None) -> None:
+    """jax.distributed bootstrap (call before any jax backend use)."""
+    import jax
+    kwargs = {}
+    if local_device_count is not None:
+        kwargs["local_device_ids"] = list(range(local_device_count))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def assemble_multihost(local_reads, params: AssemblyParams | None = None,
+                       local_capacity: int | None = None):
+    """SPMD entry: every process passes its own read shard; returns the
+    full contig list on every process (written out by process 0)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from genome_tpu.assemble.pipeline import extract_stream, _pow2_at_least
+    from genome_tpu.dist.build import make_sharded_build
+    from genome_tpu.dist.count import make_sharded_count
+    from genome_tpu.graph.contigs import emit_contigs
+    from genome_tpu.graph.simplify import final_chain_state, simplify_device
+    from genome_tpu.kernels.extract import SENTINEL
+
+    params = params or AssemblyParams()
+    devs = jax.devices()  # global, all processes
+    S = len(devs)
+    mesh = Mesh(np.array(devs), ("shard",))
+    n_local_dev = len(jax.local_devices())
+
+    # local extraction (DP over this host's reads)
+    hi, lo = extract_stream(local_reads, params.k)
+    hi, lo = np.asarray(hi), np.asarray(lo)
+
+    # agree on the per-device stream length across processes
+    m_dev_local = -(-max(hi.size, 1) // n_local_dev)
+    m_dev = int(multihost_utils.process_allgather(
+        jnp.asarray([m_dev_local])).max())
+    lhi = np.full((n_local_dev * m_dev,), SENTINEL, dtype=np.uint32)
+    llo = np.full((n_local_dev * m_dev,), SENTINEL, dtype=np.uint32)
+    lhi[: hi.size] = hi
+    llo[: lo.size] = lo
+
+    sharding = NamedSharding(mesh, P("shard"))
+    ghi = jax.make_array_from_process_local_data(sharding, lhi)
+    glo = jax.make_array_from_process_local_data(sharding, llo)
+
+    # sharded count with overflow retry (flags are global; all processes
+    # see the same decision — deterministic SPMD control flow)
+    bucket_cap = max(64, int(1.3 * m_dev / S) + 64)
+    local_cap = local_capacity or _pow2_at_least(max(64, m_dev))
+    min_cov = jnp.asarray([params.min_coverage], jnp.uint32)
+    while True:
+        counter = make_sharded_count(mesh, "shard", bucket_cap, local_cap)
+        th, tl, cnts, n_uni, ovf = counter(ghi, glo, min_cov)
+        if not bool(multihost_utils.process_allgather(ovf, tiled=True).any()):
+            break
+        bucket_cap *= 2
+        local_cap *= 2
+
+    query_cap = max(64, int(1.3 * 8 * local_cap / S) + 64)
+    while True:
+        builder = make_sharded_build(mesh, "shard", params.k, local_cap,
+                                     query_cap)
+        succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
+        if not bool(multihost_utils.process_allgather(bovf, tiled=True).any()):
+            break
+        query_cap *= 2
+
+    # replicate the surviving graph on every process, simplify locally
+    succ_g = multihost_utils.process_allgather(succ, tiled=True)
+    okv_hi_g = multihost_utils.process_allgather(okv_hi, tiled=True)
+    okv_lo_g = multihost_utils.process_allgather(okv_lo, tiled=True)
+    cnts_g = multihost_utils.process_allgather(cnts, tiled=True)
+    n_loc = multihost_utils.process_allgather(n_uni, tiled=True)
+
+    dev0 = jax.local_devices()[0]
+    succ_j = jax.device_put(np.asarray(succ_g), dev0)
+    okh_j = jax.device_put(np.asarray(okv_hi_g), dev0)
+    okl_j = jax.device_put(np.asarray(okv_lo_g), dev0)
+    cnt_j = jax.device_put(np.asarray(cnts_g), dev0)
+    n_loc = np.asarray(n_loc)
+    valid = (np.arange(S * local_cap).reshape(S, local_cap)
+             % local_cap < n_loc[:, None]).reshape(-1)
+    valid_j = jax.device_put(valid, dev0)
+    alive = jnp.ones((S * local_cap,), dtype=jnp.bool_)
+    alive = simplify_device(succ_j, okh_j, okl_j, cnt_j, alive, valid_j,
+                            params)
+    fs = final_chain_state(succ_j, okh_j, okl_j, cnt_j, alive, valid_j)
+    return emit_contigs(fs, okh_j, okl_j, params.k, params.min_contig_len)
