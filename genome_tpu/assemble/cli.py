@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="simplification round bound")
     p.add_argument("--capacity", type=int, default=None,
                    help="k-mer table capacity (default: auto with retry)")
+    p.add_argument("--max-device-kmers", type=int, default=None,
+                   help="stream counting in chunks of this many windows "
+                        "(bounds device memory; default: one shot)")
+    p.add_argument("--counter", choices=["sort", "hashtable"], default="sort",
+                   help="counting kernel: sort+segmented-reduce (default) "
+                        "or batched open-addressing HBM hash table")
     p.add_argument("--backend", choices=["device", "golden"], default="device",
                    help="device = JAX/TPU pipeline, golden = NumPy reference")
     p.add_argument("--io", choices=["native", "python"], default="native",
@@ -112,7 +118,9 @@ def main(argv: list[str] | None = None) -> int:
             ckpt.load = lambda phase: None  # type: ignore[assignment]
         result = run_pipeline(reads, params, capacity=args.capacity,
                               metrics=metrics, ckpt=ckpt,
-                              profile_dir=args.profile)
+                              profile_dir=args.profile,
+                              max_device_kmers=args.max_device_kmers,
+                              counter=args.counter)
         contigs = result["contigs"]
 
     write_fasta(args.output, contigs)

@@ -86,18 +86,62 @@ def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int):
     return jnp.concatenate(his), jnp.concatenate(los)
 
 
-def count_reads(reads: list[str], params: AssemblyParams,
-                capacity: int | None = None, metrics: Metrics | None = None):
+def count_reads(reads, params: AssemblyParams,
+                capacity: int | None = None, metrics: Metrics | None = None,
+                max_device_kmers: int | None = None, counter: str = "sort"):
     """reads -> counted k-mer table dict (count_kmers_device result).
 
     Doubles capacity and retries on overflow (table sizes are data-dependent;
-    shapes must be static — SURVEY §7)."""
+    shapes must be static — SURVEY §7). If the window stream exceeds
+    `max_device_kmers`, counting streams in chunks whose partial tables are
+    merged on device (bounded HBM; threshold applied only on the complete
+    merged counts)."""
     hi, lo = extract_stream(reads, params.k)
-    cap = capacity or _pow2_at_least(int(hi.shape[0]) or 1)
+    n_windows = int(hi.shape[0])
+    if max_device_kmers and n_windows > max_device_kmers:
+        return _count_streaming(hi, lo, params, capacity, metrics,
+                                max_device_kmers, n_windows)
+    cap = capacity or _pow2_at_least(n_windows or 1)
+    if counter == "hashtable":
+        from genome_tpu.kernels.hash_table import count_kmers_hashtable
+        cap = _pow2_at_least(cap)
+        count_fn = count_kmers_hashtable
+    else:
+        count_fn = count_kmers_device
     while True:
-        res = count_kmers_device(hi, lo, params.min_coverage, cap)
+        res = count_fn(hi, lo, params.min_coverage, cap)
         if not bool(res["overflow"]):
-            res["n_windows"] = int(hi.shape[0])
+            res = dict(res)
+            res["n_windows"] = n_windows
+            return res
+        if metrics:
+            metrics.log("capacity_overflow", capacity=cap, retry=2 * cap)
+        cap *= 2
+
+
+def _count_streaming(hi, lo, params, capacity, metrics, chunk, n_windows):
+    """Chunked count + on-device table merges (SURVEY §3.2 streaming)."""
+    from genome_tpu.kernels.count import filter_table, merge_tables
+    cap = capacity or _pow2_at_least(min(n_windows, 4 * chunk))
+    while True:
+        running = None
+        overflowed = False
+        for i in range(0, n_windows, chunk):
+            part_hi, part_lo = hi[i : i + chunk], lo[i : i + chunk]
+            if part_hi.shape[0] < chunk:
+                pad = chunk - part_hi.shape[0]
+                fill = jnp.full((pad,), 0xFFFFFFFF, dtype=jnp.uint32)
+                part_hi = jnp.concatenate([part_hi, fill])
+                part_lo = jnp.concatenate([part_lo, fill])
+            part = count_kmers_device(part_hi, part_lo, 1, cap)
+            running = part if running is None else merge_tables(
+                running, part, 1, cap)
+            if bool(running["overflow"]) or bool(part["overflow"]):
+                overflowed = True
+                break
+        if not overflowed:
+            res = dict(filter_table(running, params.min_coverage))
+            res["n_windows"] = n_windows
             return res
         if metrics:
             metrics.log("capacity_overflow", capacity=cap, retry=2 * cap)
@@ -127,11 +171,13 @@ def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
 simplify_device = simplify_with_metrics
 
 
-def run_pipeline(reads: list[str], params: AssemblyParams,
+def run_pipeline(reads, params: AssemblyParams,
                  capacity: int | None = None,
                  metrics: Metrics | None = None,
                  ckpt: PhaseCheckpointer | None = None,
-                 profile_dir: str | None = None) -> dict:
+                 profile_dir: str | None = None,
+                 max_device_kmers: int | None = None,
+                 counter: str = "sort") -> dict:
     """Full single-host pipeline with metrics/checkpoint/profiling.
 
     Returns {"contigs": [...], "stats": {...}}.
@@ -155,7 +201,9 @@ def run_pipeline(reads: list[str], params: AssemblyParams,
         else:
             with metrics.phase("count") as info:
                 t0 = time.perf_counter()
-                res = count_reads(reads, params, capacity, metrics)
+                res = count_reads(reads, params, capacity, metrics,
+                                  max_device_kmers=max_device_kmers,
+                                  counter=counter)
                 table_hi, table_lo = res["table_hi"], res["table_lo"]
                 counts, n_unique = res["counts"], res["n_unique"]
                 jax.block_until_ready(counts)

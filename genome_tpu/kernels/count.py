@@ -6,10 +6,16 @@ hash inserts (DRAM-latency-bound), the whole k-mer stream is sorted and
 counted by run-length encoding — streaming, HBM-bandwidth-bound work.
 
 Correctness path uses XLA's lax.sort (two-key lexicographic on the uint32
-pair); the Pallas radix sort (genome_tpu.kernels.sort_pallas) drops in for
-speed. Sentinel note: invalid windows carry key (0xFFFFFFFF, 0xFFFFFFFF),
-which can never equal a *canonical* k-mer for any k <= 32 (the all-T k-mer
-canonicalizes to all-A), so sentinels sort last and are filtered exactly.
+pair); faster sorters (kernels.sort_bucket / Pallas) drop in via the
+`sorter` hook. Sorter contract: equal keys adjacent, non-sentinel keys in
+ascending order; SENTINEL slots may appear anywhere (bucket sorters leave
+sentinel-padded holes between regions) — the RLE pass filters them by
+value, which is safe because (0xFFFFFFFF, 0xFFFFFFFF) can never be a
+*canonical* k-mer for any k <= 32 (the all-T k-mer canonicalizes to
+all-A).
+
+`count_weighted` additionally merges pre-counted tables (streaming /
+bounded-memory counting: per-chunk tables merge with weights = counts).
 """
 
 from __future__ import annotations
@@ -26,8 +32,70 @@ U32 = jnp.uint32
 
 def sort_pairs_xla(hi: jax.Array, lo: jax.Array, *extra):
     """Lexicographic sort of the (hi, lo) key pair, carrying extras along."""
-    out = jax.lax.sort((hi, lo) + extra, num_keys=2)
-    return out
+    return jax.lax.sort((hi, lo) + extra, num_keys=2)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "sorter"))
+def count_weighted(
+    hi: jax.Array,
+    lo: jax.Array,
+    weights: jax.Array,
+    min_coverage: jax.Array | int,
+    capacity: int,
+    sorter=None,
+):
+    """Weighted canonical k-mer stream -> sorted unique table (filtered).
+
+    Args:
+      hi, lo: flat uint32 pair stream (SENTINEL = invalid slots).
+      weights: uint32 multiplicity per slot (1 for raw windows; existing
+        counts when merging tables).
+      min_coverage: final count threshold (SEMANTICS §2). Use 1 when the
+        result will be merged further (thresholding is only correct on
+        complete counts).
+      capacity: static output size; `overflow` set if the run count
+        (including sentinel runs) exceeds it — retry bigger (SURVEY §7).
+      sorter: optional (hi, lo, w) -> sorted (hi, lo, w); default XLA sort.
+
+    Returns dict: table_hi/table_lo/counts [capacity], n_unique (int32),
+    overflow (bool).
+    """
+    m = hi.shape[0]
+    if m == 0:
+        z = jnp.zeros((capacity,), dtype=U32)
+        return dict(table_hi=z, table_lo=z, counts=z,
+                    n_unique=jnp.int32(0), overflow=jnp.bool_(False))
+    if sorter is None:
+        shi, slo, sw = sort_pairs_xla(hi, lo, weights)
+    else:
+        shi, slo, sw = sorter(hi, lo, weights)
+
+    first = jnp.concatenate([
+        jnp.ones((1,), dtype=jnp.bool_),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+    ])
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_runs_total = first.sum(dtype=jnp.int32)
+    overflow = n_runs_total > capacity
+
+    counts = jax.ops.segment_sum(sw.astype(U32), run_id,
+                                 num_segments=capacity)
+    scatter_idx = jnp.where(first, run_id, capacity)
+    run_hi = jnp.zeros((capacity,), dtype=U32).at[scatter_idx].set(shi, mode="drop")
+    run_lo = jnp.zeros((capacity,), dtype=U32).at[scatter_idx].set(slo, mode="drop")
+
+    ridx = jnp.arange(capacity, dtype=jnp.int32)
+    valid = ((ridx < n_runs_total) & (run_hi != SENTINEL)
+             & (counts >= jnp.asarray(min_coverage, U32)))
+    # compact surviving runs to the front (stays sorted: stable positions)
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    out_idx = jnp.where(valid, dest, capacity)
+    table_hi = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_hi, mode="drop")
+    table_lo = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_lo, mode="drop")
+    out_counts = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(counts, mode="drop")
+    n_unique = valid.sum(dtype=jnp.int32)
+    return dict(table_hi=table_hi, table_lo=table_lo, counts=out_counts,
+                n_unique=n_unique, overflow=overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "sorter"))
@@ -38,56 +106,54 @@ def count_kmers_device(
     capacity: int,
     sorter=None,
 ):
-    """Canonical k-mer stream -> sorted unique table + counts (filtered).
-
-    Args:
-      hi, lo: flat uint32 pair stream (SENTINEL = invalid slots).
-      min_coverage: count threshold (SEMANTICS §2).
-      capacity: static output table size; if the number of distinct
-        surviving k-mers exceeds it, `overflow` is set and results are
-        truncated (caller retries with larger capacity; SURVEY §7 "hard
-        parts": capacity-planned padded buffers + overflow counters).
-      sorter: optional (hi, lo) -> (hi, lo) sorted, defaults to XLA sort.
-
-    Returns dict with table_hi/table_lo/counts [capacity], n_unique (int32
-    scalar), overflow (bool scalar).
-    """
-    m = hi.shape[0]
-    if m == 0:
+    """Unweighted counting (every slot multiplicity 1). See count_weighted."""
+    if hi.shape[0] == 0:
         z = jnp.zeros((capacity,), dtype=U32)
         return dict(table_hi=z, table_lo=z, counts=z,
                     n_unique=jnp.int32(0), overflow=jnp.bool_(False))
-    if sorter is None:
-        shi, slo = sort_pairs_xla(hi, lo)
-    else:
-        shi, slo = sorter(hi, lo)
+    w = jnp.ones(hi.shape, dtype=U32)
+    if sorter is not None:
+        return count_weighted(hi, lo, w, min_coverage, capacity, sorter=sorter)
+    return count_weighted(hi, lo, w, min_coverage, capacity)
 
-    first = jnp.concatenate([
-        jnp.ones((1,), dtype=jnp.bool_),
-        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
-    ])
-    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
 
-    is_sent = shi == SENTINEL
-    n_runs_real = jnp.sum(first & ~is_sent, dtype=jnp.int32)
-    overflow = n_runs_real > capacity
-
-    counts = jax.ops.segment_sum(
-        jnp.ones((m,), dtype=U32), run_id, num_segments=capacity
-    )
-    # first element of each run carries the key; runs beyond capacity drop
-    scatter_idx = jnp.where(first, run_id, capacity)
-    run_hi = jnp.zeros((capacity,), dtype=U32).at[scatter_idx].set(shi, mode="drop")
-    run_lo = jnp.zeros((capacity,), dtype=U32).at[scatter_idx].set(slo, mode="drop")
-
-    ridx = jnp.arange(capacity, dtype=jnp.int32)
-    valid = (ridx < n_runs_real) & (counts >= jnp.asarray(min_coverage, U32))
-    # compact surviving runs to the front (stays sorted: stable positions)
+@jax.jit
+def filter_table(t: dict, min_coverage):
+    """Apply the final coverage threshold to a complete counted table."""
+    cap = t["table_hi"].shape[0]
+    ridx = jnp.arange(cap, dtype=jnp.int32)
+    valid = ((ridx < t["n_unique"])
+             & (t["counts"] >= jnp.asarray(min_coverage, U32)))
     dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    out_idx = jnp.where(valid, dest, capacity)
-    table_hi = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_hi, mode="drop")
-    table_lo = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_lo, mode="drop")
-    out_counts = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(counts, mode="drop")
-    n_unique = valid.sum(dtype=jnp.int32)
-    return dict(table_hi=table_hi, table_lo=table_lo, counts=out_counts,
-                n_unique=n_unique, overflow=overflow)
+    out_idx = jnp.where(valid, dest, cap)
+    z = jnp.zeros((cap,), dtype=U32)
+    return dict(
+        table_hi=z.at[out_idx].set(t["table_hi"], mode="drop"),
+        table_lo=z.at[out_idx].set(t["table_lo"], mode="drop"),
+        counts=z.at[out_idx].set(t["counts"], mode="drop"),
+        n_unique=valid.sum(dtype=jnp.int32),
+        overflow=t["overflow"],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def merge_tables(a: dict, b: dict, min_coverage, capacity: int):
+    """Merge two counted tables (complete or partial counts are summed).
+
+    Inputs are count_weighted-style dicts; invalid slots (index >=
+    n_unique) carry count 0 and key (0,0) — they are masked to SENTINEL
+    before merging.
+    """
+    def masked(t):
+        cap = t["table_hi"].shape[0]
+        v = jnp.arange(cap, dtype=jnp.int32) < t["n_unique"]
+        return (jnp.where(v, t["table_hi"], SENTINEL),
+                jnp.where(v, t["table_lo"], SENTINEL),
+                jnp.where(v, t["counts"], 0))
+
+    ah, al, aw = masked(a)
+    bh, bl, bw = masked(b)
+    return count_weighted(jnp.concatenate([ah, bh]),
+                          jnp.concatenate([al, bl]),
+                          jnp.concatenate([aw, bw]),
+                          min_coverage, capacity)

@@ -89,3 +89,66 @@ def test_count_all_same_and_all_distinct():
     res = count_kmers_device(hi, lo, 1, capacity=512)
     exp_k, _ = count_canonical_kmers([g], k, 1)
     assert int(res["n_unique"]) == exp_k.size
+
+
+def test_streaming_count_matches_oneshot():
+    from genome_tpu.assemble.pipeline import count_reads
+    from genome_tpu.params import AssemblyParams
+    params = AssemblyParams(k=15, min_coverage=2)
+    reads = simulate_reads(random_genome(1200, seed=77), read_len=80,
+                           coverage=10, error_rate=0.02, seed=78)
+    one = count_reads(reads, params)
+    few = count_reads(reads, params, max_device_kmers=2000)
+    n1, n2 = int(one["n_unique"]), int(few["n_unique"])
+    assert n1 == n2
+    for key in ("table_hi", "table_lo", "counts"):
+        assert (np.asarray(one[key])[:n1] == np.asarray(few[key])[:n2]).all()
+
+
+def test_merge_tables_weighted():
+    import jax.numpy as jnp
+    from genome_tpu.kernels.count import merge_tables
+    k = 21
+    g = random_genome(400, seed=13)
+    codes_a = pack_reads([g[:250]])
+    codes_b = pack_reads([g[200:]])
+    full = pack_reads([g[:250], g[200:]])
+    ha, la = extract_canonical_kmers(codes_a, k)
+    hb, lb = extract_canonical_kmers(codes_b, k)
+    hf, lf = extract_canonical_kmers(full, k)
+    ta = count_kmers_device(ha, la, 1, capacity=512)
+    tb = count_kmers_device(hb, lb, 1, capacity=512)
+    tm = merge_tables(ta, tb, 1, 1024)
+    tf = count_kmers_device(hf, lf, 1, capacity=1024)
+    n = int(tf["n_unique"])
+    assert int(tm["n_unique"]) == n
+    for key in ("table_hi", "table_lo", "counts"):
+        assert (np.asarray(tm[key])[:n] == np.asarray(tf[key])[:n]).all()
+
+
+@pytest.mark.parametrize("mincov", [1, 2])
+def test_hashtable_counter_matches_sort_counter(mincov):
+    from genome_tpu.kernels.hash_table import count_kmers_hashtable
+    k = 21
+    reads = simulate_reads(random_genome(900, seed=15), read_len=80,
+                           coverage=10, error_rate=0.02, seed=16)
+    reads[0] = reads[0][:30] + "N" + reads[0][31:]
+    codes = pack_reads(reads)
+    hi, lo = extract_canonical_kmers(codes, k)
+    a = count_kmers_device(hi, lo, mincov, capacity=8192)
+    b = count_kmers_hashtable(hi, lo, mincov, capacity=8192)
+    assert not bool(a["overflow"]) and not bool(b["overflow"])
+    n = int(a["n_unique"])
+    assert int(b["n_unique"]) == n
+    for key in ("table_hi", "table_lo", "counts"):
+        assert (np.asarray(a[key])[:n] == np.asarray(b[key])[:n]).all()
+
+
+def test_hashtable_overflow_on_tiny_capacity():
+    from genome_tpu.kernels.hash_table import count_kmers_hashtable
+    k = 21
+    g = random_genome(600, seed=17)
+    codes = pack_reads([g])
+    hi, lo = extract_canonical_kmers(codes, k)
+    res = count_kmers_hashtable(hi, lo, 1, capacity=256, max_rounds=8)
+    assert bool(res["overflow"])
