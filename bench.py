@@ -70,9 +70,18 @@ def main() -> int:
                 s = np.concatenate([s, np.zeros(batch - s.size, np.int64)])
             yield genome[s[:, None] + np.arange(read_len)[None, :]]
 
+    strategy = os.environ.get("BENCH_COUNTER", "bucket")
+
     @jax.jit
     def count_build(his, los):
-        res = count_kmers_device(his, los, 2, capacity)
+        if strategy == "bucket":
+            from genome_tpu.kernels.sort_bucket import count_kmers_bucket
+            res = count_kmers_bucket(his, los, 2, capacity, k=k)
+        elif strategy == "hashtable":
+            from genome_tpu.kernels.hash_table import count_kmers_hashtable
+            res = count_kmers_hashtable(his, los, 2, capacity)
+        else:
+            res = count_kmers_device(his, los, 2, capacity)
         succ, okv_hi, okv_lo = build_graph_device(
             res["table_hi"], res["table_lo"], res["n_unique"], k)
         # reduce outputs to scalars: forces real execution even on runtimes

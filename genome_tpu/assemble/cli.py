@@ -40,8 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-device-kmers", type=int, default=None,
                    help="stream counting in chunks of this many windows "
                         "(bounds device memory; default: one shot)")
-    p.add_argument("--counter", choices=["sort", "hashtable"], default="sort",
-                   help="counting kernel: sort+segmented-reduce (default) "
+    p.add_argument("--counter", choices=["sort", "bucket", "hashtable"],
+                   default="sort",
+                   help="counting kernel: global sort+segmented-reduce "
+                        "(default), bucket-partition sort (TPU fast path), "
                         "or batched open-addressing HBM hash table")
     p.add_argument("--backend", choices=["device", "golden"], default="device",
                    help="device = JAX/TPU pipeline, golden = NumPy reference")

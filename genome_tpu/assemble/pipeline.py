@@ -106,6 +106,10 @@ def count_reads(reads, params: AssemblyParams,
         from genome_tpu.kernels.hash_table import count_kmers_hashtable
         cap = _pow2_at_least(cap)
         count_fn = count_kmers_hashtable
+    elif counter == "bucket":
+        import functools as _ft
+        from genome_tpu.kernels.sort_bucket import count_kmers_bucket
+        count_fn = _ft.partial(count_kmers_bucket, k=params.k)
     else:
         count_fn = count_kmers_device
     while True:
