@@ -66,9 +66,11 @@ def main() -> int:
     def batches():
         for i in range(0, num_reads, batch):
             s = starts[i : i + batch]
-            if s.size < batch:
-                s = np.concatenate([s, np.zeros(batch - s.size, np.int64)])
-            yield genome[s[:, None] + np.arange(read_len)[None, :]]
+            codes = genome[s[:, None] + np.arange(read_len)[None, :]]
+            if s.size < batch:  # pad with invalid reads (dropped as sentinels)
+                pad = np.full((batch - s.size, read_len), 4, dtype=np.uint8)
+                codes = np.concatenate([codes, pad])
+            yield codes
 
     strategy = os.environ.get("BENCH_COUNTER", "bucket")
 
@@ -111,7 +113,7 @@ def main() -> int:
                           "error": "capacity overflow"}))
         return 1
 
-    n_windows = ((num_reads + batch - 1) // batch) * batch * (read_len - k + 1)
+    n_windows = num_reads * (read_len - k + 1)  # real windows only
     value = n_windows / dt
     target = 0.8 * bw / _RADIX_BYTES_PER_KMER
     print(json.dumps({

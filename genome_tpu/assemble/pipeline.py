@@ -108,11 +108,16 @@ def count_reads(reads, params: AssemblyParams,
         count_fn = count_kmers_hashtable
     elif counter == "bucket":
         import functools as _ft
-        from genome_tpu.kernels.sort_bucket import count_kmers_bucket
-        count_fn = _ft.partial(count_kmers_bucket, k=params.k)
+        from genome_tpu.kernels.sort_bucket import count_kmers_bucket, default_seg
+        seg = default_seg(n_windows or 1)
+        count_fn = None  # built per retry below (seg grows too)
     else:
         count_fn = count_kmers_device
     while True:
+        if counter == "bucket":
+            import functools as _ft
+            from genome_tpu.kernels.sort_bucket import count_kmers_bucket
+            count_fn = _ft.partial(count_kmers_bucket, k=params.k, seg=seg)
         res = count_fn(hi, lo, params.min_coverage, cap)
         if not bool(res["overflow"]):
             res = dict(res)
@@ -121,6 +126,8 @@ def count_reads(reads, params: AssemblyParams,
         if metrics:
             metrics.log("capacity_overflow", capacity=cap, retry=2 * cap)
         cap *= 2
+        if counter == "bucket":
+            seg *= 2
 
 
 def _count_streaming(hi, lo, params, capacity, metrics, chunk, n_windows):

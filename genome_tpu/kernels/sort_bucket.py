@@ -37,6 +37,15 @@ def _identity_sorter(hi, lo, w):
     return hi, lo, w
 
 
+def default_seg(n: int, bucket_bits: int = 10, row: int = 8192) -> int:
+    """Default per-bucket region size: canonical keys skew low (min(x, rc)
+    density <= 2x average), 3x average covers skew + noise; multiple of
+    256 keeps tiling clean. Heavy-hitter streams (massive duplicates of
+    one k-mer) can exceed this — overflow flags a retry with larger seg."""
+    B = 1 << bucket_bits
+    return max(row, -(-3 * n // (B * 256)) * 256)
+
+
 def _bucket_ids(hi, lo, k: int, bucket_bits: int):
     """Top `bucket_bits` of the 2k-bit key; sentinels clamp to the last
     bucket (they sort after every real key inside it)."""
@@ -57,9 +66,7 @@ def bucket_partition_sort(hi, lo, w, k: int, bucket_bits: int = 10,
     bucket_bits = min(bucket_bits, 2 * k)
     B = 1 << bucket_bits
     if seg == 0:
-        # canonical keys skew low (min(x, rc) density <= 2x average); 3x
-        # average covers skew + noise. Multiple of 256 keeps tiling clean.
-        seg = max(row, -(-3 * n // (B * 256)) * 256)
+        seg = default_seg(n, bucket_bits, row)
 
     nn = -(-n // row) * row
     if nn != n:
