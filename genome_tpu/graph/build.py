@@ -51,12 +51,10 @@ def searchsorted_pair(table_hi, table_lo, n_valid, qh, ql):
     return lo_b
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def build_graph_device(table_hi, table_lo, n_unique, k: int):
-    """Sorted canonical table -> oriented successor array succ[2C, 4] int32.
+def _extension_queries(table_hi, table_lo, n_unique, k: int):
+    """Shared prep: oriented values + canonicalized extension queries.
 
-    succ[2i+s, b] = oriented id of extension of node i (orientation s) by
-    base b, or -1. Orientation 0 = stored canonical k-mer, 1 = its RC.
+    Returns (okv_hi, okv_lo, valid_o, ch[4][2C], cl[4][2C], orient[4][2C]).
     """
     capacity = table_hi.shape[0]
     ids = jnp.arange(capacity, dtype=I32)
@@ -76,15 +74,91 @@ def build_graph_device(table_hi, table_lo, n_unique, k: int):
         sh = jnp.zeros_like(sh)
         sl = sl & U32((1 << (2 * k)) - 1) if k < 16 else sl
 
-    succ_cols = []
+    chs, cls, orients = [], [], []
     for b in range(4):
         eh, el = sh, sl | U32(b)
         ch, cl = u64.canonical(eh, el, k)
+        chs.append(ch)
+        cls.append(cl)
+        orients.append((~u64.eq(eh, el, ch, cl)).astype(I32))
+    return okv_hi, okv_lo, valid_o, chs, cls, orients
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def build_graph_bsearch(table_hi, table_lo, n_unique, k: int):
+    """Graph build by per-query binary search (8C x log C random gathers).
+
+    Simple and the basis of the sharded boundary-probe path; for large
+    single-chip tables build_graph_join is ~an order of magnitude faster
+    (gathers are the bottleneck on TPU — BENCH.md)."""
+    capacity = table_hi.shape[0]
+    okv_hi, okv_lo, valid_o, chs, cls, orients = _extension_queries(
+        table_hi, table_lo, n_unique, k)
+    succ_cols = []
+    for b in range(4):
+        ch, cl, orient = chs[b], cls[b], orients[b]
         pos = searchsorted_pair(table_hi, table_lo, n_unique, ch, cl)
         pos_c = jnp.minimum(pos, capacity - 1)
         found = (pos < n_unique) & u64.eq(table_hi[pos_c], table_lo[pos_c], ch, cl)
-        orient = (~u64.eq(eh, el, ch, cl)).astype(I32)
         col = jnp.where(found & valid_o, 2 * pos_c + orient, -1)
         succ_cols.append(col)
     succ = jnp.stack(succ_cols, axis=1)
     return succ, okv_hi, okv_lo
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def build_graph_join(table_hi, table_lo, n_unique, k: int):
+    """Graph build as a sort-merge membership join (TPU fast path).
+
+    Instead of 8C independent binary searches (each a chain of random
+    gathers — the measured bottleneck), concatenate the table entries with
+    all extension queries, sort once, and resolve each query against the
+    table record at its equal-key run head. Sorting is the fast primitive
+    on TPU; random access is not (BENCH.md measurements).
+    """
+    capacity = table_hi.shape[0]
+    n2 = 2 * capacity
+    okv_hi, okv_lo, valid_o, chs, cls, orients = _extension_queries(
+        table_hi, table_lo, n_unique, k)
+
+    ids = jnp.arange(capacity, dtype=I32)
+    valid_node = ids < n_unique
+    sent = U32(0xFFFFFFFF)
+
+    # records: table entries first-in-run (payload < capacity), then
+    # queries (payload = capacity + query slot). Invalid -> sentinel key.
+    tab_h = jnp.where(valid_node, table_hi, sent)
+    tab_l = jnp.where(valid_node, table_lo, sent)
+    q_h = jnp.concatenate([jnp.where(valid_o, chs[b], sent) for b in range(4)])
+    q_l = jnp.concatenate([jnp.where(valid_o, cls[b], sent) for b in range(4)])
+    rec_h = jnp.concatenate([tab_h, q_h])
+    rec_l = jnp.concatenate([tab_l, q_l])
+    payload = jnp.concatenate([
+        ids, capacity + jnp.arange(4 * n2, dtype=I32)])
+
+    sh_, sl_, sp = jax.lax.sort((rec_h, rec_l, payload), num_keys=3)
+
+    m = sh_.shape[0]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sh_[1:] != sh_[:-1]) | (sl_[1:] != sl_[:-1]),
+    ])
+    pos_idx = jnp.arange(m, dtype=I32)
+    runstart = jax.lax.cummax(jnp.where(first, pos_idx, 0))
+    head_payload = sp[runstart]  # segmented broadcast of run-head payload
+    # a query matches iff its run head is a table record
+    is_query = sp >= capacity
+    hit = is_query & (head_payload < capacity) & (sh_ != sent)
+    qslot = jnp.where(is_query, sp - capacity, 4 * n2)
+    answers = jnp.full((4 * n2,), -1, dtype=I32).at[
+        jnp.where(hit, qslot, 4 * n2)].set(head_payload, mode="drop")
+
+    orient = jnp.concatenate(orients)
+    succ_flat = jnp.where(answers >= 0, 2 * answers + orient, -1)
+    succ = succ_flat.reshape(4, n2).T
+    return succ, okv_hi, okv_lo
+
+
+# default: the join build (fast path); bsearch kept for the sharded
+# boundary-probe exchange and as a cross-check oracle
+build_graph_device = build_graph_join

@@ -69,3 +69,23 @@ def test_device_capacity_overflow_retry():
     _, reads, params = _case(0, 300, 50, 10, 0.00, False, 11, 1)
     small = assemble_device(reads, params, capacity=16)  # forces retries
     assert small == assemble_golden(reads, params)
+
+
+def test_join_build_matches_bsearch_build():
+    import jax.numpy as jnp
+    from genome_tpu.graph.build import build_graph_bsearch, build_graph_join
+
+    for k, seed in [(15, 41), (21, 42), (31, 43)]:
+        reads = simulate_reads(random_genome(700, seed=seed), read_len=80,
+                               coverage=8, error_rate=0.02, seed=seed + 1)
+        kmers, counts = count_canonical_kmers(reads, k, 2)
+        cap = kmers.size + 7
+        th = np.zeros(cap, np.uint32)
+        tl = np.zeros(cap, np.uint32)
+        th[: kmers.size], tl[: kmers.size] = u64.from_u64_np(kmers)
+        args = (jnp.asarray(th), jnp.asarray(tl), jnp.int32(kmers.size), k)
+        sj, jh, jl = build_graph_join(*args)
+        sb, bh, bl = build_graph_bsearch(*args)
+        assert (np.asarray(sj) == np.asarray(sb)).all()
+        assert (np.asarray(jh) == np.asarray(bh)).all()
+        assert (np.asarray(jl) == np.asarray(bl)).all()
