@@ -71,8 +71,8 @@ def main() -> int:
     strategy = os.environ.get("BENCH_COUNTER", "sort")
 
     @jax.jit
-    def count_build(codes):
-        # one dispatch: extract -> canonical -> count -> graph build
+    def count(codes):
+        # one dispatch: extract -> canonical -> count
         his, los = extract_canonical_kmers(codes, k)
         if strategy == "bucket":
             from genome_tpu.kernels.sort_bucket import count_kmers_bucket
@@ -82,17 +82,24 @@ def main() -> int:
             res = count_kmers_hashtable(his, los, 2, capacity)
         else:
             res = count_kmers_device(his, los, 2, capacity)
-        succ, okv_hi, okv_lo = build_graph_device(
-            res["table_hi"], res["table_lo"], res["n_unique"], k)
-        # reduce outputs to scalars: forces real execution even on runtimes
-        # where block_until_ready resolves without materializing (axon relay)
-        return res["n_unique"], res["overflow"], succ.sum()
+        return res["table_hi"], res["table_lo"], res["n_unique"], res["overflow"]
+
+    @jax.jit
+    def build(th, tl, n):
+        succ, okv_hi, okv_lo = build_graph_device(th, tl, n, k)
+        # scalar outputs force real execution even on runtimes where
+        # block_until_ready resolves without materializing (axon relay)
+        return succ.sum()
 
     codes_dev = jnp.asarray(all_codes)  # staged once; timed region is compute
 
     def run():
-        n_uni, ovf, chk = count_build(codes_dev)
-        return int(n_uni), bool(ovf), int(chk)
+        th, tl, n_uni, ovf = count(codes_dev)
+        n = int(n_uni)  # host sync; then compact the table before build
+        step = max(256, 1 << max(0, n.bit_length() - 3))
+        cap2 = min(capacity, -(-n // step) * step)
+        chk = build(th[:cap2], tl[:cap2], n_uni)
+        return n, bool(ovf), int(chk)
 
     def timed_run():
         t0 = time.perf_counter()

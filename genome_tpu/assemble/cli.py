@@ -125,8 +125,9 @@ def main(argv: list[str] | None = None) -> int:
         contigs = result["contigs"]
 
     write_fasta(args.output, contigs)
-    metrics.log("done", output=args.output, n_contigs=len(contigs),
-                params_hash=params.params_hash())
+    from genome_tpu.assemble.stats import assembly_stats
+    metrics.log("done", output=args.output,
+                params_hash=params.params_hash(), **assembly_stats(contigs))
     metrics.close()
     return 0
 

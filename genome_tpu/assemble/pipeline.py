@@ -100,7 +100,7 @@ def count_reads(reads, params: AssemblyParams,
     n_windows = int(hi.shape[0])
     if max_device_kmers and n_windows > max_device_kmers:
         return _count_streaming(hi, lo, params, capacity, metrics,
-                                max_device_kmers, n_windows)
+                                max_device_kmers, n_windows, counter)
     cap = capacity or _pow2_at_least(n_windows or 1)
     if counter == "hashtable":
         from genome_tpu.kernels.hash_table import count_kmers_hashtable
@@ -130,9 +130,19 @@ def count_reads(reads, params: AssemblyParams,
             seg *= 2
 
 
-def _count_streaming(hi, lo, params, capacity, metrics, chunk, n_windows):
+def _count_streaming(hi, lo, params, capacity, metrics, chunk, n_windows,
+                     counter: str = "sort"):
     """Chunked count + on-device table merges (SURVEY §3.2 streaming)."""
     from genome_tpu.kernels.count import filter_table, merge_tables
+    if counter == "bucket":
+        import functools as _ft
+        from genome_tpu.kernels.sort_bucket import count_kmers_bucket
+        chunk_fn = _ft.partial(count_kmers_bucket, k=params.k)
+    elif counter == "hashtable":
+        from genome_tpu.kernels.hash_table import count_kmers_hashtable
+        chunk_fn = count_kmers_hashtable
+    else:
+        chunk_fn = count_kmers_device
     cap = capacity or _pow2_at_least(min(n_windows, 4 * chunk))
     while True:
         running = None
@@ -144,7 +154,7 @@ def _count_streaming(hi, lo, params, capacity, metrics, chunk, n_windows):
                 fill = jnp.full((pad,), 0xFFFFFFFF, dtype=jnp.uint32)
                 part_hi = jnp.concatenate([part_hi, fill])
                 part_lo = jnp.concatenate([part_lo, fill])
-            part = count_kmers_device(part_hi, part_lo, 1, cap)
+            part = chunk_fn(part_hi, part_lo, 1, cap)
             running = part if running is None else merge_tables(
                 running, part, 1, cap)
             if bool(running["overflow"]) or bool(part["overflow"]):
@@ -228,6 +238,15 @@ def run_pipeline(reads, params: AssemblyParams,
                       n_windows=stats["n_windows"])
         stats["n_unique"] = int(n_unique)
 
+        # compact the table toward n_unique before build/simplify: probe
+        # and chain work scale with capacity, not real nodes. Rounded so
+        # compiled shapes stay bounded (<= 8 per power-of-two decade).
+        n_int = int(n_unique)
+        step = max(256, 1 << max(0, n_int.bit_length() - 3))
+        cap2 = min(table_hi.shape[0], -(-max(n_int, 1) // step) * step)
+        table_hi, table_lo = table_hi[:cap2], table_lo[:cap2]
+        counts = counts[:cap2]
+
         # ---- phase: build ----
         with metrics.phase("build") as info:
             succ, okv_hi, okv_lo = build_graph_device(
@@ -237,7 +256,7 @@ def run_pipeline(reads, params: AssemblyParams,
 
         # ---- phase: simplify ----
         saved = ckpt.load("simplify")
-        if saved is not None:
+        if saved is not None and saved["alive"].shape[0] == table_hi.shape[0]:
             metrics.log("resume", phase="simplify")
             alive = jnp.asarray(saved["alive"])
         else:
@@ -249,9 +268,11 @@ def run_pipeline(reads, params: AssemblyParams,
                     succ, okv_hi, okv_lo, counts, alive, valid_node, params,
                     metrics)
                 jax.block_until_ready(alive)
-                info["alive"] = int(alive.sum())
+                info["alive"] = int((alive & valid_node).sum())
             ckpt.save("simplify", alive=alive)
-        stats["n_alive"] = int(alive.sum())
+        cap = table_hi.shape[0]
+        valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
+        stats["n_alive"] = int((alive & valid_node).sum())
 
         # ---- phase: contigs ----
         with metrics.phase("contigs") as info:

@@ -109,3 +109,22 @@ def test_checkpoint_ignored_on_shard_count_change(fastq, tmp_path):
     b = PhaseCheckpointer(str(tmp_path / "ck"), params, shard=0, num_shards=2)
     assert b.load("count") is None
     assert a.load("count") is not None
+
+
+def test_assembly_stats():
+    from genome_tpu.assemble.stats import assembly_stats
+    assert assembly_stats([]) == {"n_contigs": 0, "total_bp": 0, "longest": 0,
+                                  "n50": 0, "l50": 0, "mean_len": 0}
+    s = assembly_stats(["A" * 100, "A" * 50, "A" * 30])
+    assert s["n_contigs"] == 3 and s["total_bp"] == 180
+    assert s["longest"] == 100 and s["n50"] == 100 and s["l50"] == 1
+    s = assembly_stats(["A" * 60, "A" * 50, "A" * 40, "A" * 30])
+    assert s["n50"] == 50 and s["l50"] == 2
+
+
+def test_streaming_with_bucket_counter_matches(fastq, tmp_path):
+    a, b = tmp_path / "a.fasta", tmp_path / "b.fasta"
+    assert _run([fastq, "-o", a, "--k", "15", "--counter", "bucket",
+                 "--max-device-kmers", "2000", "--quiet"]) == 0
+    assert _run([fastq, "-o", b, "--k", "15", "--quiet"]) == 0
+    assert read_fastx(a) == read_fastx(b)
