@@ -106,15 +106,62 @@ def count_kmers_device(
     capacity: int,
     sorter=None,
 ):
-    """Unweighted counting (every slot multiplicity 1). See count_weighted."""
-    if hi.shape[0] == 0:
+    """Unweighted counting (every slot multiplicity 1).
+
+    Fast path for the raw window stream: sorts only the (hi, lo) key pair
+    (no all-ones weight array rides through the sort — a third sort operand
+    costs real bandwidth at VPU-bound sort rates) and derives run counts
+    from head-position differences instead of a segment_sum scatter-add.
+    Position-diff counting is hole-safe under the sorter contract: a
+    SENTINEL padding region always starts its own run, so the last real run
+    in a bucket ends at the padding head, and sentinel runs are dropped by
+    the validity mask exactly as in count_weighted.
+
+    sorter: optional (hi, lo) -> sorted (hi, lo); default two-key XLA sort.
+    Same return contract as count_weighted.
+    """
+    m = hi.shape[0]
+    if m == 0:
         z = jnp.zeros((capacity,), dtype=U32)
         return dict(table_hi=z, table_lo=z, counts=z,
                     n_unique=jnp.int32(0), overflow=jnp.bool_(False))
-    w = jnp.ones(hi.shape, dtype=U32)
-    if sorter is not None:
-        return count_weighted(hi, lo, w, min_coverage, capacity, sorter=sorter)
-    return count_weighted(hi, lo, w, min_coverage, capacity)
+    if sorter is None:
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    else:
+        shi, slo = sorter(hi, lo)
+
+    first = jnp.concatenate([
+        jnp.ones((1,), dtype=jnp.bool_),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+    ])
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_runs_total = run_id[-1] + 1
+    overflow = n_runs_total > capacity
+
+    idx = jnp.arange(m, dtype=jnp.int32)
+    scatter_idx = jnp.where(first, run_id, capacity)
+    starts = jnp.full((capacity,), m, dtype=jnp.int32).at[scatter_idx].set(
+        idx, mode="drop")
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
+    ridx = jnp.arange(capacity, dtype=jnp.int32)
+    in_range = ridx < n_runs_total
+    counts = jnp.where(in_range, ends - starts, 0).astype(U32)
+    # keys by GATHER from head positions: a capacity-sized gather beats a
+    # stream-sized scatter ~8x on TPU (BENCH.md gather/scatter rates)
+    pos_c = jnp.minimum(starts, m - 1)
+    run_hi = jnp.where(in_range, shi[pos_c], 0)
+    run_lo = jnp.where(in_range, slo[pos_c], 0)
+
+    valid = ((ridx < n_runs_total) & (run_hi != SENTINEL)
+             & (counts >= jnp.asarray(min_coverage, U32)))
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    out_idx = jnp.where(valid, dest, capacity)
+    table_hi = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_hi, mode="drop")
+    table_lo = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_lo, mode="drop")
+    out_counts = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(counts, mode="drop")
+    n_unique = valid.sum(dtype=jnp.int32)
+    return dict(table_hi=table_hi, table_lo=table_lo, counts=out_counts,
+                n_unique=n_unique, overflow=overflow)
 
 
 @jax.jit
