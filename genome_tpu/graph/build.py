@@ -159,6 +159,88 @@ def build_graph_join(table_hi, table_lo, n_unique, k: int):
     return succ, okv_hi, okv_lo
 
 
-# default: the join build (fast path); bsearch kept for the sharded
-# boundary-probe exchange and as a cross-check oracle
-build_graph_device = build_graph_join
+@functools.partial(jax.jit, static_argnames=("k",))
+def build_graph_kjoin(table_hi, table_lo, n_unique, k: int):
+    """Graph build as a (k-1)-mer suffix/prefix join (fastest path).
+
+    An edge u->v exists iff suffix_{k-1}(okv(u)) == prefix_{k-1}(okv(v)):
+    v is then exactly u shifted left with v's last base appended. So
+    instead of generating all 8C canonicalized extension queries and
+    joining them against the table (9C records, build_graph_join), emit
+    one suffix record and one prefix record per oriented node (4C
+    records), sort once by the (k-1)-mer key, and broadcast each run's
+    <=4 prefix-side nodes (distinct last bases) to its suffix-side nodes
+    with a segmented scan. No canonicalization and no binary search:
+    groups are intrinsic to the oriented values.
+    """
+    capacity = table_hi.shape[0]
+    n2 = 2 * capacity
+    ids = jnp.arange(capacity, dtype=I32)
+    valid_node = ids < n_unique
+
+    rh, rl = u64.revcomp(table_hi, table_lo, k)
+    okv_hi = jnp.stack([table_hi, rh], axis=1).reshape(-1)
+    okv_lo = jnp.stack([table_lo, rl], axis=1).reshape(-1)
+    valid_o = jnp.repeat(valid_node, 2)
+
+    # suffix key = okv & (2^(2k-2)-1); prefix key = okv >> 2  (both 2k-2 bits)
+    if k > 16:
+        s_hi = okv_hi & U32((1 << (2 * k - 34)) - 1)
+        s_lo = okv_lo
+    else:
+        s_hi = jnp.zeros_like(okv_hi)
+        s_lo = okv_lo & U32((1 << (2 * k - 2)) - 1)
+    p_hi, p_lo = u64.shr(okv_hi, okv_lo, 2)
+    last2 = (okv_lo & U32(3)).astype(I32)
+
+    sent = U32(0xFFFFFFFF)
+    oid = jnp.arange(n2, dtype=I32)
+    # payload: bit31 = side (0 = prefix/B so it sorts first in its run,
+    # 1 = suffix/A), bits 2..30 = oriented id, bits 0..1 = last base (B)
+    pay_b = (oid << 2) | last2
+    pay_a = (jnp.int32(1) << 31) | (oid << 2)
+    rec_h = jnp.concatenate([jnp.where(valid_o, p_hi, sent),
+                             jnp.where(valid_o, s_hi, sent)])
+    rec_l = jnp.concatenate([jnp.where(valid_o, p_lo, sent),
+                             jnp.where(valid_o, s_lo, sent)])
+    payload = jnp.concatenate([pay_b, pay_a]).astype(U32)
+
+    sh_, sl_, sp = jax.lax.sort((rec_h, rec_l, payload), num_keys=3)
+
+    m = sh_.shape[0]
+    is_b = (sp >> U32(31)) == 0
+    vid = ((sp >> U32(2)) & U32((1 << 29) - 1)).astype(I32)
+    vb = (sp & U32(3)).astype(I32)
+    # per-base slot value carried by B records; -1 elsewhere
+    slots = jnp.stack([jnp.where(is_b & (vb == b), vid, -1)
+                       for b in range(4)], axis=1)
+
+    # Runs are provably short: a (k-1)-mer key groups <=4 prefix records
+    # (distinct last bases) and <=4 suffix records (distinct first bases),
+    # and prefix records sort first (payload bit31). So every suffix
+    # record sees all its run's slots within the previous 7 positions —
+    # a bounded lookback replaces a segmented scan entirely.
+    bcast = slots
+    for s in range(1, 8):
+        same = (sh_[s:] == sh_[:-s]) & (sl_[s:] == sl_[:-s])
+        shifted = jnp.where(same[:, None], slots[:-s], -1)
+        pad = jnp.full((s, 4), -1, dtype=I32)
+        bcast = jnp.maximum(bcast, jnp.concatenate([pad, shifted]))
+    # suffix-side rows read their run's slots; sentinel runs yield -1
+    # (a sentinel B record can't exist: valid_o masked both sides)
+    succ_rows = jnp.where((~is_b)[:, None] & (sh_ != sent)[:, None],
+                          bcast, -1)
+    # Route rows to succ[u] by SORTING on the oriented id, not scattering:
+    # every id 0..n2-1 occurs exactly once as a suffix record (B records
+    # key to n2 and fall off the end), so sorted position == row index.
+    # XLA's row scatter runs ~50 M elem/s on TPU; this sort is ~10x faster.
+    a_oid = jnp.where(~is_b, vid, n2)
+    o = jax.lax.sort((a_oid, succ_rows[:, 0], succ_rows[:, 1],
+                      succ_rows[:, 2], succ_rows[:, 3]), num_keys=1)
+    succ = jnp.stack([o[1][:n2], o[2][:n2], o[3][:n2], o[4][:n2]], axis=1)
+    return succ, okv_hi, okv_lo
+
+
+# default: the (k-1)-join build (fast path); the extension join and
+# bsearch are kept for the sharded boundary-probe path and as oracles
+build_graph_device = build_graph_kjoin

@@ -30,6 +30,13 @@ from genome_tpu.kernels.extract import SENTINEL
 U32 = jnp.uint32
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def sort_pairs_xla(hi: jax.Array, lo: jax.Array, *extra):
     """Lexicographic sort of the (hi, lo) key pair, carrying extras along."""
     return jax.lax.sort((hi, lo) + extra, num_keys=2)
@@ -125,6 +132,15 @@ def count_kmers_device(
         z = jnp.zeros((capacity,), dtype=U32)
         return dict(table_hi=z, table_lo=z, counts=z,
                     n_unique=jnp.int32(0), overflow=jnp.bool_(False))
+    use_pallas = _on_tpu()
+    if use_pallas:
+        from genome_tpu.kernels.compact import TILE
+        m_pad = -(-m // TILE) * TILE
+        if m_pad != m:
+            fill = jnp.full((m_pad - m,), SENTINEL, dtype=U32)
+            hi = jnp.concatenate([hi, fill])
+            lo = jnp.concatenate([lo, fill])
+        m = m_pad
     if sorter is None:
         shi, slo = jax.lax.sort((hi, lo), num_keys=2)
     else:
@@ -134,32 +150,64 @@ def count_kmers_device(
         jnp.ones((1,), dtype=jnp.bool_),
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
     ])
-    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    n_runs_total = run_id[-1] + 1
+    ridx = jnp.arange(capacity, dtype=jnp.int32)
+    if use_pallas:
+        # run heads via the Pallas streaming compactor: no stream-sized
+        # scatter, no cumsum (kernels/compact.py rationale)
+        from genome_tpu.kernels.compact import CHUNK, compact_flagged
+        cap_pad = (-(-capacity // CHUNK)) * CHUNK + CHUNK
+        (run_hi, run_lo), pos, n_runs_total, _ = compact_flagged(
+            first, (shi, slo), cap_pad)
+        run_hi, run_lo = run_hi[:capacity], run_lo[:capacity]
+        starts = pos[:capacity]
+        in_range = ridx < n_runs_total
+        ends_roll = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
+        ends = jnp.where(ridx + 1 < n_runs_total, ends_roll, m)
+        counts = jnp.where(in_range, ends - starts, 0).astype(U32)
+        run_hi = jnp.where(in_range, run_hi, 0)
+        run_lo = jnp.where(in_range, run_lo, 0)
+    else:
+        run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        n_runs_total = run_id[-1] + 1
+        idx = jnp.arange(m, dtype=jnp.int32)
+        scatter_idx = jnp.where(first, run_id, capacity)
+        starts = jnp.full((capacity,), m, dtype=jnp.int32).at[
+            scatter_idx].set(idx, mode="drop")
+        ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
+        in_range = ridx < n_runs_total
+        counts = jnp.where(in_range, ends - starts, 0).astype(U32)
+        # keys by GATHER from head positions: a capacity-sized gather beats
+        # a stream-sized scatter ~8x on TPU (BENCH.md gather/scatter rates)
+        pos_c = jnp.minimum(starts, m - 1)
+        run_hi = jnp.where(in_range, shi[pos_c], 0)
+        run_lo = jnp.where(in_range, slo[pos_c], 0)
     overflow = n_runs_total > capacity
 
-    idx = jnp.arange(m, dtype=jnp.int32)
-    scatter_idx = jnp.where(first, run_id, capacity)
-    starts = jnp.full((capacity,), m, dtype=jnp.int32).at[scatter_idx].set(
-        idx, mode="drop")
-    ends = jnp.concatenate([starts[1:], jnp.full((1,), m, jnp.int32)])
-    ridx = jnp.arange(capacity, dtype=jnp.int32)
-    in_range = ridx < n_runs_total
-    counts = jnp.where(in_range, ends - starts, 0).astype(U32)
-    # keys by GATHER from head positions: a capacity-sized gather beats a
-    # stream-sized scatter ~8x on TPU (BENCH.md gather/scatter rates)
-    pos_c = jnp.minimum(starts, m - 1)
-    run_hi = jnp.where(in_range, shi[pos_c], 0)
-    run_lo = jnp.where(in_range, slo[pos_c], 0)
-
-    valid = ((ridx < n_runs_total) & (run_hi != SENTINEL)
+    valid = (in_range & (run_hi != SENTINEL)
              & (counts >= jnp.asarray(min_coverage, U32)))
-    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    out_idx = jnp.where(valid, dest, capacity)
-    table_hi = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_hi, mode="drop")
-    table_lo = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(run_lo, mode="drop")
-    out_counts = jnp.zeros((capacity,), dtype=U32).at[out_idx].set(counts, mode="drop")
-    n_unique = valid.sum(dtype=jnp.int32)
+    if use_pallas:
+        from genome_tpu.kernels.compact import TILE, compact_flagged
+        fpad = -(-capacity // TILE) * TILE - capacity
+        vflags = jnp.concatenate(
+            [valid, jnp.zeros((fpad,), jnp.bool_)]) if fpad else valid
+        zp = jnp.zeros((fpad,), U32)
+        (th, tl, tc), _, n_unique, _ = compact_flagged(
+            vflags,
+            tuple(jnp.concatenate([a, zp]) if fpad else a
+                  for a in (run_hi, run_lo, counts)),
+            cap_pad)
+        keep = ridx < n_unique
+        table_hi = jnp.where(keep, th[:capacity], 0)
+        table_lo = jnp.where(keep, tl[:capacity], 0)
+        out_counts = jnp.where(keep, tc[:capacity], 0)
+    else:
+        dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        out_idx = jnp.where(valid, dest, capacity)
+        z = jnp.zeros((capacity,), dtype=U32)
+        table_hi = z.at[out_idx].set(run_hi, mode="drop")
+        table_lo = z.at[out_idx].set(run_lo, mode="drop")
+        out_counts = z.at[out_idx].set(counts, mode="drop")
+        n_unique = valid.sum(dtype=jnp.int32)
     return dict(table_hi=table_hi, table_lo=table_lo, counts=out_counts,
                 n_unique=n_unique, overflow=overflow)
 

@@ -136,6 +136,52 @@ def main():
             return sum(o[:: block].astype(jnp.uint64).sum() for o in out)
         dt = timeit(f, *arrs)
         print(f"{case}: {dt*1e3:.1f} ms  {nn/dt/1e9:.3f} G keys/s")
+    elif case == "kjoin_parts":
+        cap = 5242880
+        n2 = 2 * cap
+        m = 2 * n2
+        rh = jnp.asarray(rng.integers(0, 256, size=m, dtype=np.uint32))
+        rl = jnp.asarray(rng.integers(0, 1 << 31, size=m, dtype=np.uint32))
+        pay = jnp.asarray(rng.integers(0, 1 << 31, size=m, dtype=np.uint32))
+
+        @jax.jit
+        def srt(a, b, c):
+            o = jax.lax.sort((a, b, c), num_keys=3)
+            return o[0][0] + o[2][-1]
+        print(f"sort3x{m/1e6:.0f}M: {timeit(srt, rh, rl, pay)*1e3:.0f} ms")
+
+        @jax.jit
+        def srt2(a, b, c):
+            o = jax.lax.sort((a, b, c), num_keys=2)
+            return o[0][0] + o[2][-1]
+        print(f"sort2k3a_{m/1e6:.0f}M: {timeit(srt2, rh, rl, pay)*1e3:.0f} ms")
+
+        @jax.jit
+        def look(a, b, c):
+            I32 = jnp.int32
+            sp = c
+            is_b = (sp >> jnp.uint32(31)) == 0
+            vid = ((sp >> jnp.uint32(2)) & jnp.uint32((1 << 29) - 1)).astype(I32)
+            vb = (sp & jnp.uint32(3)).astype(I32)
+            slots = jnp.stack([jnp.where(is_b & (vb == q), vid, -1)
+                               for q in range(4)], axis=1)
+            bcast = slots
+            for s in range(1, 8):
+                same = (a[s:] == a[:-s]) & (b[s:] == b[:-s])
+                shifted = jnp.where(same[:, None], slots[:-s], -1)
+                padq = jnp.full((s, 4), -1, dtype=I32)
+                bcast = jnp.maximum(bcast, jnp.concatenate([padq, shifted]))
+            return bcast.sum()
+        print(f"lookback_{m/1e6:.0f}M: {timeit(look, rh, rl, pay)*1e3:.0f} ms")
+
+        @jax.jit
+        def scat(c):
+            vid = ((c >> jnp.uint32(2)) & jnp.uint32((1 << 29) - 1)).astype(jnp.int32)
+            rows = jnp.stack([vid, vid + 1, vid + 2, vid + 3], axis=1)
+            out = jnp.full((n2, 4), -1, jnp.int32).at[
+                jnp.minimum(vid, n2)].set(rows, mode="drop")
+            return out.sum()
+        print(f"scatter_rows_{m/1e6:.0f}M: {timeit(scat, pay)*1e3:.0f} ms")
     elif case == "sort_global":
         hi = jnp.asarray(rng.integers(0, 1024, size=n, dtype=np.uint32))
         lo = jnp.asarray(rng.integers(0, 1 << 31, size=n, dtype=np.uint32))

@@ -73,9 +73,10 @@ def test_device_capacity_overflow_retry():
 
 def test_join_build_matches_bsearch_build():
     import jax.numpy as jnp
-    from genome_tpu.graph.build import build_graph_bsearch, build_graph_join
+    from genome_tpu.graph.build import (build_graph_bsearch, build_graph_join,
+                                        build_graph_kjoin)
 
-    for k, seed in [(15, 41), (21, 42), (31, 43)]:
+    for k, seed in [(15, 41), (16, 44), (17, 45), (21, 42), (31, 43)]:
         reads = simulate_reads(random_genome(700, seed=seed), read_len=80,
                                coverage=8, error_rate=0.02, seed=seed + 1)
         kmers, counts = count_canonical_kmers(reads, k, 2)
@@ -84,8 +85,9 @@ def test_join_build_matches_bsearch_build():
         tl = np.zeros(cap, np.uint32)
         th[: kmers.size], tl[: kmers.size] = u64.from_u64_np(kmers)
         args = (jnp.asarray(th), jnp.asarray(tl), jnp.int32(kmers.size), k)
-        sj, jh, jl = build_graph_join(*args)
         sb, bh, bl = build_graph_bsearch(*args)
-        assert (np.asarray(sj) == np.asarray(sb)).all()
-        assert (np.asarray(jh) == np.asarray(bh)).all()
-        assert (np.asarray(jl) == np.asarray(bl)).all()
+        for fn in (build_graph_join, build_graph_kjoin):
+            sj, jh, jl = fn(*args)
+            assert (np.asarray(sj) == np.asarray(sb)).all(), fn.__name__
+            assert (np.asarray(jh) == np.asarray(bh)).all(), fn.__name__
+            assert (np.asarray(jl) == np.asarray(bl)).all(), fn.__name__
