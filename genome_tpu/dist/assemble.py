@@ -52,7 +52,8 @@ def shard_reads(reads: list[str], num_shards: int) -> list[list[str]]:
 def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
                      num_shards: int = 2, mesh: Mesh | None = None,
                      metrics: Metrics | None = None,
-                     local_capacity: int | None = None) -> list[str]:
+                     local_capacity: int | None = None,
+                     sharded_simplify: bool = True) -> list[str]:
     """Partitioned assembly over a device mesh; contigs == single-host."""
     params = params or AssemblyParams()
     metrics = metrics or Metrics(quiet=True)
@@ -103,20 +104,39 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
             query_cap *= 2
             metrics.log("dist_query_overflow", query_cap=query_cap)
 
-    # --- merged simplify + emission (replicated; value-based pins) ---
+    # --- simplify: sharded pointer doubling over the mesh (remote-gather
+    # exchanges, dist/simplify.py); falls back to the replicated passes on
+    # routing-capacity overflow. Both implement the same value-based pins,
+    # so contigs are identical either way (CI-enforced). ---
+    n_loc = np.asarray(n_uni)
+    valid = (np.arange(S * local_cap).reshape(S, local_cap)
+             % local_cap < n_loc[:, None]).reshape(-1)
+    alive_sh = None
+    if sharded_simplify:
+        from genome_tpu.dist.simplify import simplify_sharded
+        with metrics.phase("dist_simplify_sharded") as info:
+            alive0 = jnp.ones((S * local_cap,), dtype=jnp.bool_)
+            alive_sh, ovf_s = simplify_sharded(
+                mesh, "shard", local_cap, succ, okv_hi, okv_lo, cnts,
+                alive0, n_uni, params)
+            info["overflow"] = bool(ovf_s)
+            if ovf_s:
+                alive_sh = None
+                metrics.log("dist_simplify_overflow_fallback")
+
     with metrics.phase("dist_simplify") as info:
         dev = jax.devices()[0]
         succ_g = jax.device_put(np.asarray(succ), dev)
         okv_hi_g = jax.device_put(np.asarray(okv_hi), dev)
         okv_lo_g = jax.device_put(np.asarray(okv_lo), dev)
         counts_g = jax.device_put(np.asarray(cnts), dev)
-        n_loc = np.asarray(n_uni)
-        valid = (np.arange(S * local_cap).reshape(S, local_cap)
-                 % local_cap < n_loc[:, None]).reshape(-1)
         valid_g = jax.device_put(valid, dev)
-        alive = jnp.ones((S * local_cap,), dtype=jnp.bool_)
-        alive = simplify_device(succ_g, okv_hi_g, okv_lo_g, counts_g, alive,
-                                valid_g, params)
+        if alive_sh is not None:
+            alive = jax.device_put(np.asarray(alive_sh), dev)
+        else:
+            alive = jnp.ones((S * local_cap,), dtype=jnp.bool_)
+            alive = simplify_device(succ_g, okv_hi_g, okv_lo_g, counts_g,
+                                    alive, valid_g, params)
         fs = final_chain_state(succ_g, okv_hi_g, okv_lo_g, counts_g, alive,
                                valid_g)
         info["alive"] = int(alive.sum())

@@ -100,7 +100,7 @@ def make_sharded_build(mesh: Mesh, axis: str, k: int, local_capacity: int,
         # overflow means some queries were dropped: result unusable
         return succ, okv_hi, okv_lo, ovf[None]
 
-    fn = jax.shard_map(shard_fn, mesh=mesh,
+    fn = jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
                        in_specs=(P(axis), P(axis), P(axis)),
                        out_specs=(P(axis), P(axis), P(axis), P(axis)))
     return jax.jit(fn)

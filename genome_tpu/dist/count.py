@@ -87,7 +87,7 @@ def make_sharded_count(mesh: Mesh, axis: str, bucket_cap: int,
         return (res["table_hi"], res["table_lo"], res["counts"],
                 res["n_unique"][None], ovf[None])
 
-    fn = jax.shard_map(shard_fn, mesh=mesh,
+    fn = jax.shard_map(shard_fn, mesh=mesh, check_vma=False,
                        in_specs=(P(axis), P(axis), P()),
                        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)))
     return jax.jit(fn)

@@ -1,0 +1,478 @@
+"""T3: sharded graph simplification — distributed pointer doubling
+(SURVEY.md §5.3/§5.7 follow-up; completes the PartitionedDNAMap analog so
+no phase ever needs the whole graph on one chip).
+
+The single-device passes (graph/simplify.py) index global arrays freely:
+`q[q]` doubling, per-head segment reductions, value gathers at tails.
+Here the oriented-id space is sharded over the mesh (global id
+v = shard * 2*local_capacity + local, matching dist/build.py), and every
+cross-shard access becomes an explicit exchange built on route_buckets:
+
+- remote_gather: requests routed to the owner shard (all_to_all #1),
+  answered locally, responses routed back (all_to_all #2) into the
+  requesting slots — the PartitionedDNAMap probe pattern.
+- per-head aggregates: one routing of (head, payload...) records to the
+  head's owner, then plain local segment reductions.
+- bubble (p, s) grouping: records routed by hash(p, s) so each group
+  lands whole on one shard, sorted locally, losers routed to their
+  owners as kill messages.
+
+Semantics are identical to the local passes (every pin is k-mer-value
+based); CI checks contig parity against the single-device pipeline on a
+logical multi-shard CPU mesh. Capacity-planned buffers with overflow
+flags, like the rest of T3: on overflow the host retries bigger.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from genome_tpu.dist.count import route_buckets
+from genome_tpu.dist.partition import _fmix32_jnp
+from genome_tpu.kernels import u64
+from genome_tpu.kernels.extract import SENTINEL
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def _cap_for(m: int, num_shards: int, slack: float = 1.35) -> int:
+    """Per-owner bucket capacity for m hash-balanced requests."""
+    return max(64, int(slack * m / num_shards) + 64)
+
+
+def _back(resp, axis, num_shards, cap):
+    """Return a response buffer along the same bucket layout."""
+    out = jax.lax.all_to_all(resp.reshape(num_shards, cap), axis,
+                             split_axis=0, concat_axis=0, tiled=True)
+    return out.reshape(-1)
+
+
+def make_ops(axis: str, num_shards: int, cl2: int):
+    """Sharded primitives for one shard_map body. cl2 = 2*local_capacity."""
+    S = num_shards
+
+    def remote_gather(vals, idx, valid, cap, defaults):
+        """vals[j][idx[i]] over the sharded global id space.
+
+        vals: tuple of local [cl2] arrays (shard's slice of a global
+        array). idx: [M] global ids; valid: [M] mask. Returns (outs, ovf)
+        with outs[j][i] = global_vals[j][idx[i]] where valid else
+        defaults[j] (scalars or per-slot arrays). Owner-local requests
+        are answered without touching the network — only genuinely
+        remote indices ride the all_to_all, which keeps bucket loads at
+        ~M/S even when most pointers are self/local (converged doubling
+        chains)."""
+        me = jax.lax.axis_index(axis).astype(I32)
+        m = idx.shape[0]
+        own = jnp.where(valid, idx // cl2, S)
+        is_mine = valid & (own == me)
+        loc_self = jnp.clip(idx - me * cl2, 0, cl2 - 1)
+        remote = valid & (own != me)
+
+        # Dedup remote requests: converged doubling pointers concentrate
+        # on chain heads, so raw per-owner request counts are unbounded
+        # (a genome is one giant chain). Sort (idx, slot), route only run
+        # heads, broadcast responses down the runs, undo the permutation.
+        big = U32(0xFFFFFFFF)
+        key = jnp.where(remote, idx.astype(U32), big)
+        slot = jnp.arange(m, dtype=I32)
+        skey, sslot = jax.lax.sort((key, slot), num_keys=1)
+        first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 skey[1:] != skey[:-1]])
+        uniq = first & (skey != big)
+        own_u = jnp.where(uniq, (skey // U32(cl2)).astype(I32), S)
+        (ridx,), send_pos, ovf = route_buckets((skey,), own_u, S, cap, axis)
+        present = ridx != SENTINEL
+        loc = jnp.clip(ridx.astype(I32) - me * cl2, 0, cl2 - 1)
+        pos = jnp.arange(m, dtype=I32)
+        runstart = jax.lax.cummax(jnp.where(first, pos, 0))
+        inv = jnp.zeros((m,), I32).at[sslot].set(pos, unique_indices=True)
+        outs = []
+        for v, d in zip(vals, defaults):
+            resp = jnp.where(present, v[loc].astype(U32), 0)
+            got = _back(resp, axis, S, cap)
+            sp = jnp.clip(send_pos, 0, None)
+            at_head = jnp.where(uniq & (send_pos >= 0), got[sp], U32(0))
+            ok_head = uniq & (send_pos >= 0)
+            # broadcast each run head's response to the whole run, then
+            # map back through the sort permutation to original slots
+            bcast = at_head[runstart]
+            ok = ok_head[runstart]
+            o = bcast[inv].astype(v.dtype)
+            okm = ok[inv]
+            o = jnp.where(is_mine, v[loc_self], o)
+            outs.append(jnp.where(valid & (is_mine | (remote & okm)),
+                                  o, d))
+        return tuple(outs), ovf
+
+    def seg_route(vals, ops, seg, valid, cap):
+        """Route (seg, vals...) records to seg's owner, pre-combined.
+
+        All of a shard's records for one segment are reduced locally
+        first (`ops[j]` in {"max", "sum", "min"} per payload) so at most
+        one record per (sender, segment) rides the exchange — without
+        this, every node of a chain routes to its head's owner and a
+        single giant chain overflows any per-owner capacity.
+
+        Returns (local_seg [S*cap] int32 with cl2 for empties, routed
+        vals tuple, present mask, ovf).
+        """
+        me = jax.lax.axis_index(axis).astype(I32)
+        m = seg.shape[0]
+        big = U32(0xFFFFFFFF)
+        key = jnp.where(valid, seg.astype(U32), big)
+        sorted_all = jax.lax.sort(
+            (key,) + tuple(v.astype(U32) for v in vals), num_keys=1)
+        skey, svals = sorted_all[0], sorted_all[1:]
+        first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 skey[1:] != skey[:-1]])
+        rid = jnp.cumsum(first.astype(I32)) - 1
+        combined = []
+        j = 0
+        while j < len(svals):
+            v, op = svals[j], ops[j]
+            if op == "sum":
+                c = jax.ops.segment_sum(v, rid, num_segments=m)
+            elif op == "min":
+                c = jax.ops.segment_min(v, rid, num_segments=m)
+            elif op == "min2":  # lexicographic (hi, lo) pair min
+                chi = jax.ops.segment_min(v, rid, num_segments=m)
+                lo_cand = jnp.where(v == chi[rid], svals[j + 1], big)
+                clo = jax.ops.segment_min(lo_cand, rid, num_segments=m)
+                combined.append(chi)
+                combined.append(clo)
+                j += 2
+                continue
+            else:
+                c = jax.ops.segment_max(v, rid, num_segments=m)
+            combined.append(c)
+            j += 1
+        uniq = first & (skey != big)
+        own_u = jnp.where(uniq, (skey // U32(cl2)).astype(I32), S)
+        routed, _, ovf = route_buckets(
+            (skey,) + tuple(c[rid] for c in combined),
+            own_u, S, cap, axis)
+        rseg = routed[0]
+        present = rseg != SENTINEL
+        lseg = jnp.where(present, jnp.clip(rseg.astype(I32) - me * cl2,
+                                           0, cl2 - 1), cl2)
+        return lseg, routed[1:], present, ovf
+
+    return remote_gather, seg_route
+
+
+def _paired(v):
+    """[cl2] array -> ([cl], [cl]) even/odd slots, for rc-pair gathers."""
+    return v[0::2], v[1::2]
+
+
+def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
+    """Builds jitted sharded tip-clip and bubble-pop passes.
+
+    All arrays are global-shaped, sharded over `axis`:
+    succ [S*cl2, 4] (global oriented ids), okv_hi/lo [S*cl2],
+    counts [S*local_capacity], alive [S*local_capacity] bool,
+    n_loc [S] int32. Each pass returns (alive, changed [S], overflow [S]).
+    """
+    num_shards = S = mesh.shape[axis]
+    cl = local_capacity
+    cl2 = 2 * cl
+    n2g = S * cl2
+    rounds = max(1, (n2g - 1).bit_length() + 1)
+    gcap1 = _cap_for(cl2, S)
+    gcap4 = _cap_for(4 * cl2, S)
+
+    def chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                    remote_gather, seg_route, me):
+        ids_g = me * cl2 + jnp.arange(cl2, dtype=I32)  # my global ids
+        alive_o = jnp.repeat(alive & valid_node, 2)
+        ovf = jnp.zeros((), jnp.bool_)
+
+        # degrees: alive bit of each successor (remote)
+        tgt = succ.reshape(-1)
+        (tgt_alive_u,), o1 = remote_gather(
+            (alive_o.astype(U32),), jnp.clip(tgt, 0, None),
+            tgt >= 0, gcap4, (U32(0),))
+        ovf |= o1
+        ok = ((tgt >= 0) & (tgt_alive_u != 0)).reshape(-1, 4) & alive_o[:, None]
+        outdeg = ok.sum(axis=1, dtype=I32)
+        usucc = jnp.where(ok, succ, -1).max(axis=1)
+
+        # links: next_u = usucc if outdeg==1 and outdeg[usucc^1]==1
+        has = outdeg == 1
+        w = jnp.where(has, usucc, 0)
+        (deg_w1,), o2 = remote_gather((outdeg,), w ^ 1, has, gcap1, (I32(0),))
+        ovf |= o2
+        next_u = jnp.where(has & (deg_w1 == 1), w, -1)
+        # prev_u[v] = u with next_u[u] = v; next of my rc gives my prev
+        nx = next_u[jnp.arange(cl2, dtype=I32) ^ 1]
+        prev_u = jnp.where(nx >= 0, nx ^ 1, -1)
+
+        # pointer doubling on global ids (remote q[q]); self-pointers are
+        # fixpoints — skipping them keeps request loads at ~M/S
+        p0 = jnp.where(prev_u >= 0, prev_u, ids_g)
+
+        def dbl(_, carry):
+            q, of = carry
+            (qq,), o = remote_gather((q,), q, q != ids_g, gcap1, (q,))
+            return qq, of | o
+        q, o3 = jax.lax.fori_loop(0, rounds, dbl, (p0, ovf))
+        ovf = o3
+        # q == self implies prev_u[self] < 0, so the skipped default is -1
+        (prev_q,), o4 = remote_gather((prev_u,), q, q != ids_g, gcap1,
+                                      (I32(-1),))
+        ovf |= o4
+        in_cycle = alive_o & (prev_q >= 0)
+
+        # cycle head: min oriented value over the cycle (min-doubling);
+        # gather at self returns own carry -> no-op, so skip with defaults
+        def mndbl(_, carry):
+            mh, ml, mi, qq, of = carry
+            (ch, cm, ci, q2), o = remote_gather(
+                (mh, ml, mi, qq), qq, qq != ids_g, gcap1,
+                (mh, ml, mi, qq))
+            take = u64.lt(ch, cm, mh, ml)
+            return (jnp.where(take, ch, mh), jnp.where(take, cm, ml),
+                    jnp.where(take, ci, mi), q2, of | o)
+        mh, ml, mn_i, _, ovf = jax.lax.fori_loop(
+            0, rounds, mndbl, (okv_hi, okv_lo, ids_g, p0, ovf))
+        rep_break = in_cycle & (mn_i == ids_g)
+        prev2 = jnp.where(rep_break, -1, prev_u)
+
+        # head + distance with cycles broken; p == self implies root
+        # (d == 0), so skipped defaults are (p, 0)
+        p = jnp.where(prev2 >= 0, prev2, ids_g)
+        d = jnp.where(prev2 >= 0, 1, 0).astype(I32)
+
+        def hd(_, carry):
+            pp, dd, of = carry
+            (p2, dp), o = remote_gather((pp, dd), pp, pp != ids_g, gcap1,
+                                        (pp, I32(0)))
+            return p2, dd + dp, of | o
+        p, d, ovf = jax.lax.fori_loop(0, rounds, hd, (p, d, ovf))
+        head = jnp.where(alive_o, p, -1)
+        dist = jnp.where(alive_o, d, 0)
+        is_head = alive_o & (head == ids_g)
+
+        # per-head aggregates: one routing of all payloads to head owners
+        node_counts = jnp.repeat(counts, 2).astype(U32)
+        okv_rc_hi = okv_hi[jnp.arange(cl2, dtype=I32) ^ 1]
+        okv_rc_lo = okv_lo[jnp.arange(cl2, dtype=I32) ^ 1]
+        is_tail = alive_o & (next_u == -1)
+        payloads = (
+            (dist + 1).astype(U32),
+            node_counts & U32(0xFFFF),
+            node_counts >> U32(16),
+            in_cycle.astype(U32),
+            # tail id encoded +1 so 0 = absent under unsigned max
+            jnp.where(is_tail, ids_g + 1, 0).astype(U32),
+            jnp.where(in_cycle, okv_rc_hi, U32(0xFFFFFFFF)),
+            jnp.where(in_cycle, okv_rc_lo, U32(0xFFFFFFFF)),
+        )
+        ops5 = ("max", "sum", "sum", "max", "max", "min2", "min2lo")
+        lseg, routed, present, o5 = seg_route(
+            payloads, ops5, jnp.clip(head, 0, None),
+            alive_o & (head >= 0), gcap1)
+        ovf |= o5
+        r_len, r_clo, r_chi, r_cyc, r_tail, r_oh, r_ol = routed
+        length_l = jax.ops.segment_max(
+            jnp.where(present, r_len.astype(I32), 0), lseg,
+            num_segments=cl2)
+        cov_lo = jax.ops.segment_sum(
+            jnp.where(present, r_clo, U32(0)), lseg, num_segments=cl2)
+        cov_hi = jax.ops.segment_sum(
+            jnp.where(present, r_chi, U32(0)), lseg, num_segments=cl2)
+        cov_hi = cov_hi + (cov_lo >> U32(16))
+        cov_lo = cov_lo & U32(0xFFFF)
+        cyc_head = jax.ops.segment_max(
+            jnp.where(present, r_cyc.astype(I32), 0), lseg,
+            num_segments=cl2) > 0
+        tail_of = jax.ops.segment_max(
+            jnp.where(present, r_tail, U32(0)), lseg,
+            num_segments=cl2).astype(I32) - 1
+        cyc_hi = jax.ops.segment_min(
+            jnp.where(present & (r_oh != U32(0xFFFFFFFF)), r_oh,
+                      U32(0xFFFFFFFF)),
+            lseg, num_segments=cl2)
+        lo_cand = jnp.where(
+            present & (r_oh == cyc_hi[lseg]), r_ol, U32(0xFFFFFFFF))
+        cyc_lo = jax.ops.segment_min(lo_cand, lseg, num_segments=cl2)
+
+        # twin head okv: okv(rc(tail)) for paths, cycle min for cycles
+        ph0, ph1 = _paired(okv_hi)
+        pl0, pl1 = _paired(okv_lo)
+        (t_h0, t_h1, t_l0, t_l1), o6 = remote_gather(
+            (ph0, ph1, pl0, pl1), jnp.clip(tail_of, 0, None) // 2,
+            tail_of >= 0, gcap1,
+            (U32(0xFFFFFFFF),) * 4)
+        ovf |= o6
+        todd = (tail_of & 1) == 1  # rc(tail) = tail ^ 1
+        twin_hi = jnp.where(tail_of >= 0,
+                            jnp.where(todd, t_h0, t_h1), U32(0xFFFFFFFF))
+        twin_lo = jnp.where(tail_of >= 0,
+                            jnp.where(todd, t_l0, t_l1), U32(0xFFFFFFFF))
+        use_cyc = is_head & cyc_head
+        twin_hi = jnp.where(use_cyc, cyc_hi, twin_hi)
+        twin_lo = jnp.where(use_cyc, cyc_lo, twin_lo)
+
+        return dict(outdeg=outdeg, usucc=usucc, next_u=next_u, head=head,
+                    dist=dist, is_head=is_head, length=length_l,
+                    cyc_head=cyc_head, tail_of=tail_of, cov_hi=cov_hi,
+                    cov_lo=cov_lo, twin_hi=twin_hi, twin_lo=twin_lo,
+                    alive_o=alive_o, ids_g=ids_g, ovf=ovf)
+
+    def kill_heads(alive, st, doomed_heads_local, remote_gather):
+        """doomed_heads_local: [cl2] bool at the head's owner shard."""
+        head = st["head"]
+        (dm,), o = remote_gather(
+            (doomed_heads_local.astype(U32),), jnp.clip(head, 0, None),
+            st["alive_o"] & (head >= 0), gcap1, (U32(0),))
+        node_doomed = st["alive_o"] & (dm != 0)
+        canon_doomed = node_doomed.reshape(-1, 2).any(axis=1)
+        return alive & ~canon_doomed, o
+
+    def tips_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, tip_len):
+        succ = succ.reshape(cl2, 4)
+        okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
+        counts, alive = counts.reshape(-1), alive.reshape(-1)
+        me = jax.lax.axis_index(axis).astype(I32)
+        valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
+        remote_gather, seg_route = make_ops(axis, S, cl2)
+        st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                         remote_gather, seg_route, me)
+        ids = jnp.arange(cl2, dtype=I32)
+        cand = st["is_head"] & ~st["cyc_head"] & (st["length"] <= tip_len[0])
+        start_open = st["outdeg"][ids ^ 1] == 0
+        tails = st["tail_of"]
+        (deg_tail,), o7 = remote_gather((st["outdeg"],),
+                                        jnp.clip(tails, 0, None),
+                                        tails >= 0, gcap1, (I32(1),))
+        end_open = (tails >= 0) & (deg_tail == 0)
+        doomed = cand & (start_open != end_open)  # heads are local slots
+        alive2, o8 = kill_heads(alive, st, doomed, remote_gather)
+        changed = doomed.any()
+        ovf = st["ovf"] | o7 | o8
+        return alive2, changed[None], ovf[None]
+
+    def bubbles_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, bubble_len):
+        succ = succ.reshape(cl2, 4)
+        okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
+        counts, alive = counts.reshape(-1), alive.reshape(-1)
+        me = jax.lax.axis_index(axis).astype(I32)
+        valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
+        remote_gather, seg_route = make_ops(axis, S, cl2)
+        st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                         remote_gather, seg_route, me)
+        ids = jnp.arange(cl2, dtype=I32)
+        ovf = st["ovf"]
+        outdeg, usucc = st["outdeg"], st["usucc"]
+        tails = st["tail_of"]
+        indeg_head = outdeg[ids ^ 1]
+        (deg_tail, succ_tail), o1 = remote_gather(
+            (outdeg, usucc), jnp.clip(tails, 0, None), tails >= 0, gcap1,
+            (I32(0), I32(-1)))
+        ovf |= o1
+        cand = (st["is_head"] & ~st["cyc_head"]
+                & (st["length"] <= bubble_len[0])
+                & (indeg_head == 1) & (tails >= 0) & (deg_tail == 1))
+        p = jnp.where(cand, usucc[ids ^ 1] ^ 1, 0)
+        s = jnp.where(cand, succ_tail, 0)
+        s = jnp.where(cand & (s >= 0), s, 0)
+
+        # okv at p, p^1, s, s^1 (paired gathers: one routing per endpoint)
+        ph0, ph1 = _paired(okv_hi)
+        pl0, pl1 = _paired(okv_lo)
+        (p_h0, p_h1, p_l0, p_l1), o2 = remote_gather(
+            (ph0, ph1, pl0, pl1), p // 2, cand, gcap1, (U32(0),) * 4)
+        (s_h0, s_h1, s_l0, s_l1), o3 = remote_gather(
+            (ph0, ph1, pl0, pl1), s // 2, cand, gcap1, (U32(0),) * 4)
+        ovf |= o2 | o3
+        podd = (p & 1) == 1
+        sodd = (s & 1) == 1
+        ph = jnp.where(podd, p_h1, p_h0)
+        pl = jnp.where(podd, p_l1, p_l0)
+        rph = jnp.where(podd, p_h0, p_h1)  # okv(p ^ 1)
+        rpl = jnp.where(podd, p_l0, p_l1)
+        sh_ = jnp.where(sodd, s_h1, s_h0)
+        sl_ = jnp.where(sodd, s_l1, s_l0)
+        rsh = jnp.where(sodd, s_h0, s_h1)  # okv(s ^ 1)
+        rsl = jnp.where(sodd, s_l0, s_l1)
+        proc = u64.lt(ph, pl, rsh, rsl) | (
+            u64.eq(ph, pl, rsh, rsl) & u64.le(sh_, sl_, rph, rpl))
+        selfrc = p == (s ^ 1)
+        primary = u64.le(okv_hi, okv_lo, st["twin_hi"], st["twin_lo"])
+        keep = cand & proc & (~selfrc | primary)
+
+        # group (p, s) on the shard owning hash(p, s); sort locally
+        mixed = _fmix32_jnp(p.astype(U32) * U32(0x9E3779B9) ^ s.astype(U32))
+        grp_own = jnp.where(keep, (mixed % U32(S)).astype(I32), S)
+        bcap = _cap_for(cl2, S)
+        routed, _, o4 = route_buckets(
+            (p.astype(U32), s.astype(U32), ~st["cov_hi"], ~st["cov_lo"],
+             okv_hi, okv_lo, st["ids_g"].astype(U32)),
+            grp_own, S, bcap, axis)
+        ovf |= o4
+        rp, rs, rch, rcl, roh, rol, rid = routed
+        sp_, ss, _, _, _, _, srid = jax.lax.sort(
+            (rp, rs, rch, rcl, roh, rol, rid), num_keys=6)
+        validm = sp_ != SENTINEL
+        same_prev = jnp.concatenate([
+            jnp.zeros((1,), jnp.bool_),
+            (sp_[1:] == sp_[:-1]) & (ss[1:] == ss[:-1]),
+        ])
+        doomed_rec = validm & same_prev
+        # kill message: route doomed head ids to their owner shards
+        did = srid.astype(I32)
+        kill_own = jnp.where(doomed_rec, did // cl2, S)
+        kcap = _cap_for(cl2, S)
+        (kids,), _, o5 = route_buckets(
+            (did.astype(U32),), kill_own, S, kcap, axis)
+        ovf |= o5
+        kpresent = kids != SENTINEL
+        kloc = jnp.clip(kids.astype(I32) - me * cl2, 0, cl2 - 1)
+        doomed = jnp.zeros((cl2,), jnp.bool_).at[
+            jnp.where(kpresent, kloc, cl2)].set(True, mode="drop")
+        alive2, o6 = kill_heads(alive, st, doomed, remote_gather)
+        changed = doomed_rec.any()  # router-side view; psum'd by caller
+        ovf |= o6
+        return alive2, changed[None], ovf[None]
+
+    specs_in = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P())
+    specs_out = (P(axis), P(axis), P(axis))
+    tips = jax.jit(jax.shard_map(tips_fn, mesh=mesh, check_vma=False,
+                                 in_specs=specs_in,
+                                 out_specs=specs_out))
+    bubbles = jax.jit(jax.shard_map(bubbles_fn, mesh=mesh,
+                                    check_vma=False,
+                                    in_specs=specs_in,
+                                    out_specs=specs_out))
+    return tips, bubbles
+
+
+def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
+                     succ, okv_hi, okv_lo, counts, alive, n_loc, params):
+    """Host fixpoint loop over the sharded passes (SEMANTICS §5 order).
+
+    Returns (alive, overflowed: bool). On overflow the caller should fall
+    back or retry with larger capacities (the jitted passes use static
+    per-routing capacities derived from local_capacity).
+    """
+    import numpy as np
+    tips, bubbles = make_sharded_simplify(mesh, axis, local_capacity)
+    tip_len = jnp.asarray([params.tip_len_eff], I32)
+    bubble_len = jnp.asarray([params.bubble_len_eff], I32)
+    for _ in range(params.max_rounds):
+        alive, c1, o1 = tips(succ, okv_hi, okv_lo, counts, alive, n_loc,
+                             tip_len)
+        alive, c2, o2 = bubbles(succ, okv_hi, okv_lo, counts, alive, n_loc,
+                                bubble_len)
+        if bool(np.asarray(o1).any()) or bool(np.asarray(o2).any()):
+            return alive, True
+        if not (bool(np.asarray(c1).any()) or bool(np.asarray(c2).any())):
+            break
+    return alive, False

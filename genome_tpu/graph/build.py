@@ -234,10 +234,33 @@ def build_graph_kjoin(table_hi, table_lo, n_unique, k: int):
     # every id 0..n2-1 occurs exactly once as a suffix record (B records
     # key to n2 and fall off the end), so sorted position == row index.
     # XLA's row scatter runs ~50 M elem/s on TPU; this sort is ~10x faster.
+    # On TPU, first drop the B records with the Pallas compactor (halves
+    # the sort-back input).
     a_oid = jnp.where(~is_b, vid, n2)
-    o = jax.lax.sort((a_oid, succ_rows[:, 0], succ_rows[:, 1],
-                      succ_rows[:, 2], succ_rows[:, 3]), num_keys=1)
-    succ = jnp.stack([o[1][:n2], o[2][:n2], o[3][:n2], o[4][:n2]], axis=1)
+    cols = [succ_rows[:, b] for b in range(4)]
+    from genome_tpu.kernels.count import _on_tpu
+    if _on_tpu():
+        from genome_tpu.kernels.compact import CHUNK, TILE, compact_flagged
+        mp = -(-m // TILE) * TILE
+        pad = mp - m
+        if pad:
+            zb = jnp.zeros((pad,), jnp.bool_)
+            zi = jnp.zeros((pad,), I32)
+            flags = jnp.concatenate([~is_b, zb])
+            a_oid = jnp.concatenate([a_oid, zi])
+            cols = [jnp.concatenate([cx, zi]) for cx in cols]
+        else:
+            flags = ~is_b
+        cap_a = -(-n2 // CHUNK) * CHUNK + CHUNK
+        (a_oid, c0, c1, c2, c3), _, _, _ = compact_flagged(
+            flags, (a_oid,) + tuple(cols), cap_a)
+        o = jax.lax.sort((a_oid[:n2], c0[:n2], c1[:n2], c2[:n2], c3[:n2]),
+                         num_keys=1)
+        succ = jnp.stack([o[1], o[2], o[3], o[4]], axis=1)
+    else:
+        o = jax.lax.sort((a_oid, cols[0], cols[1], cols[2], cols[3]),
+                         num_keys=1)
+        succ = jnp.stack([o[1][:n2], o[2][:n2], o[3][:n2], o[4][:n2]], axis=1)
     return succ, okv_hi, okv_lo
 
 

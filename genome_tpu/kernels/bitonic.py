@@ -60,10 +60,9 @@ def _stage(xs, num_keys: int, j: int, kk: int):
     for w in range(1, num_keys):
         gt = gt | (eq & (xs[w] > ps[w]))
         eq = eq & (xs[w] == ps[w])
-    asc = ~_idx_bit(xs[0].shape, kk)
-    low_side = ~_idx_bit(xs[0].shape, j)
-    keep_small = low_side == asc
-    take_partner = jnp.where(keep_small, gt, ~(gt | eq))
+    # pure boolean algebra: Mosaic rejects select/compare on i1 vectors
+    flip = _idx_bit(xs[0].shape, kk) ^ _idx_bit(xs[0].shape, j)
+    take_partner = (~flip & gt) | (flip & ~gt & ~eq)
     return [jnp.where(take_partner, p, x) for x, p in zip(xs, ps)]
 
 

@@ -12,6 +12,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
 os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)

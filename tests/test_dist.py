@@ -94,3 +94,59 @@ def test_sharded_capacity_retry():
     _, reads, params = _case(0, 300, 50, 10, 0.00, False, 11, 1)
     got = assemble_sharded(reads, params, num_shards=2, local_capacity=64)
     assert got == assemble_golden(reads, params)
+
+def test_sharded_simplify_matches_replicated():
+    """The distributed pointer-doubling passes (dist/simplify.py) must
+    produce the same alive set as the replicated passes — run both
+    explicitly (no silent overflow fallback) on a case with tips+bubbles."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from genome_tpu.assemble.pipeline import extract_stream
+    from genome_tpu.dist.build import make_sharded_build
+    from genome_tpu.dist.count import make_sharded_count
+    from genome_tpu.dist.simplify import simplify_sharded
+    from genome_tpu.graph.simplify import simplify_device
+    from genome_tpu.kernels.extract import SENTINEL
+
+    S = 4
+    _, reads, params = _case(7, 900, 70, 20, 0.02, False, 15, 2)
+    mesh = Mesh(np.array(jax.devices()[:S]), ("shard",))
+    from genome_tpu.dist.assemble import shard_reads
+    parts = []
+    for chunk in shard_reads(reads, S):
+        hi, lo = extract_stream(chunk, params.k)
+        parts.append((np.asarray(hi), np.asarray(lo)))
+    m_local = max(max(p[0].size for p in parts), 8)
+    ghi = np.full((S, m_local), SENTINEL, dtype=np.uint32)
+    glo = np.full((S, m_local), SENTINEL, dtype=np.uint32)
+    for r, (h, l) in enumerate(parts):
+        ghi[r, : h.size] = h
+        glo[r, : l.size] = l
+    local_cap = 4096
+    counter = make_sharded_count(mesh, "shard", m_local, local_cap)
+    th, tl, cnts, n_uni, ovf = counter(
+        ghi.reshape(-1), glo.reshape(-1),
+        jnp.asarray([params.min_coverage], jnp.uint32))
+    assert not bool(np.asarray(ovf).any())
+    builder = make_sharded_build(mesh, "shard", params.k, local_cap,
+                                 8 * local_cap)
+    succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
+    assert not bool(np.asarray(bovf).any())
+
+    alive0 = jnp.ones((S * local_cap,), dtype=jnp.bool_)
+    alive_sh, ovf_s = simplify_sharded(mesh, "shard", local_cap, succ,
+                                       okv_hi, okv_lo, cnts, alive0,
+                                       n_uni, params)
+    assert not ovf_s, "sharded simplify overflowed at test scale"
+
+    n_loc = np.asarray(n_uni)
+    valid = (np.arange(S * local_cap).reshape(S, local_cap)
+             % local_cap < n_loc[:, None]).reshape(-1)
+    alive_rep = simplify_device(
+        jnp.asarray(np.asarray(succ)), jnp.asarray(np.asarray(okv_hi)),
+        jnp.asarray(np.asarray(okv_lo)), jnp.asarray(np.asarray(cnts)),
+        jnp.ones((S * local_cap,), jnp.bool_), jnp.asarray(valid), params)
+    got = np.asarray(alive_sh) & valid
+    want = np.asarray(alive_rep) & valid
+    assert (got == want).all()
