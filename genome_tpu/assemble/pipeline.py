@@ -50,8 +50,8 @@ def extract_stream(reads, k: int, batch_reads: int = 65536,
         return z, z
     L = read_len or max(len(r) for r in reads)
     L = ((L + 63) // 64) * 64  # bucket read length: fewer compiled shapes
-    his, los = [], []
-    for i in range(0, len(reads), batch_reads):
+
+    def _pack(i):
         chunk = reads[i : i + batch_reads]
         # pad batch count to a power of two (>=256): static shapes, few compiles
         b = batch_reads if len(reads) > batch_reads else \
@@ -60,9 +60,23 @@ def extract_stream(reads, k: int, batch_reads: int = 65536,
         if len(chunk) < b:
             pad = np.full((b - len(chunk), L), 4, dtype=np.uint8)
             codes = np.concatenate([codes, pad])
-        hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
-        his.append(hi)
-        los.append(lo)
+        return codes
+
+    # host/device overlap: pack batch i+1 on a worker thread while the
+    # device extracts batch i (JAX dispatch is async; Python-side string
+    # packing is the serial cost this hides — SURVEY.md §5 aux ladder)
+    from concurrent.futures import ThreadPoolExecutor
+    his, los = [], []
+    starts = list(range(0, len(reads), batch_reads))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_pack, starts[0])
+        for j, i in enumerate(starts):
+            codes = fut.result()
+            if j + 1 < len(starts):
+                fut = pool.submit(_pack, starts[j + 1])
+            hi, lo = extract_canonical_kmers(jnp.asarray(codes), k)
+            his.append(hi)
+            los.append(lo)
     return jnp.concatenate(his), jnp.concatenate(los)
 
 

@@ -45,7 +45,7 @@ def _build() -> str | None:
         return so_path
     with tempfile.TemporaryDirectory() as td:
         tmp = os.path.join(td, "fastx_native.so")
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        cmd = ["g++", "-O3", "-pthread", "-shared", "-fPIC", "-std=c++17",
                _SRC, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -74,6 +74,14 @@ def _load():
     lib.gt_parse.restype = ctypes.c_int64
     lib.gt_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                              ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.gt_index.restype = ctypes.c_int64
+    lib.gt_index.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                             ctypes.c_void_p, ctypes.c_int64]
+    lib.gt_parse_mt.restype = ctypes.c_int64
+    lib.gt_parse_mt.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -82,12 +90,28 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _read_bytes(path: str) -> bytes:
+def _map_file(path: str):
+    """(buffer, n): mmap for plain files (zero-copy), bytes for .gz."""
     if os.fspath(path).endswith(".gz"):
         with gzip.open(path, "rb") as f:
-            return f.read()
+            data = f.read()
+        return data, len(data)
+    size = os.path.getsize(path)
+    if size == 0:
+        return b"", 0
+    import mmap as _mmap
     with open(path, "rb") as f:
-        return f.read()
+        # COPY access: pages lazily like ACCESS_READ but exposes a
+        # writable buffer, which ctypes.from_buffer requires
+        mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_COPY)
+    return mm, size
+
+
+def _as_cptr(buf):
+    if isinstance(buf, bytes):
+        return ctypes.c_char_p(buf)
+    arr = (ctypes.c_char * len(buf)).from_buffer(buf)
+    return ctypes.cast(arr, ctypes.c_char_p)
 
 
 def _parse_python(data: bytes, length: int | None) -> np.ndarray:
@@ -109,29 +133,40 @@ def _parse_python(data: bytes, length: int | None) -> np.ndarray:
     return pack_reads(seqs, length)
 
 
-def parse_fastx_codes(path: str, length: int | None = None) -> np.ndarray:
+def parse_fastx_codes(path: str, length: int | None = None,
+                      threads: int | None = None) -> np.ndarray:
     """FASTA/FASTQ file -> uint8 code matrix [records, L] (pad/invalid=4).
 
-    Uses the C++ parser when available; Python fallback otherwise.
-    `length` pins L (longer sequences truncated); default = max record len.
+    Uses the C++ parser when available (mmap'd input, record-boundary
+    index, multi-threaded decode); Python fallback otherwise. `length`
+    pins L (longer sequences truncated); default = max record length.
     """
-    data = _read_bytes(path)
+    buf, n = _map_file(path)
     lib = _load()
     if lib is None:
+        data = bytes(buf) if not isinstance(buf, bytes) else buf
         return _parse_python(data, length)
-    n = len(data)
+    cbuf = _as_cptr(buf)
     nrec = ctypes.c_int64()
     maxlen = ctypes.c_int64()
-    rc = lib.gt_scan(data, n, ctypes.byref(nrec), ctypes.byref(maxlen))
+    rc = lib.gt_scan(cbuf, n, ctypes.byref(nrec), ctypes.byref(maxlen))
     if rc < 0:
         raise ValueError(f"{path}: {_ERRORS.get(rc, f'parse error {rc}')}")
     rows = nrec.value
     L = length if length is not None else int(maxlen.value)
     out = np.empty((rows, max(L, 1)), dtype=np.int8)
     if rows:
-        got = lib.gt_parse(data, n, out.ctypes.data_as(ctypes.c_void_p),
-                           rows, out.shape[1])
+        offsets = np.empty((rows,), dtype=np.int64)
+        got = lib.gt_index(cbuf, n, offsets.ctypes.data_as(ctypes.c_void_p),
+                           rows)
         if got < 0:
             raise ValueError(f"{path}: {_ERRORS.get(got, f'parse error {got}')}")
-        assert got == rows, "scan/parse record count mismatch"
+        assert got == rows, "scan/index record count mismatch"
+        nt = threads or min(8, os.cpu_count() or 1)
+        got = lib.gt_parse_mt(cbuf, n,
+                              offsets.ctypes.data_as(ctypes.c_void_p), rows,
+                              out.ctypes.data_as(ctypes.c_void_p),
+                              out.shape[1], nt)
+        if got < 0:
+            raise ValueError(f"{path}: {_ERRORS.get(got, f'parse error {got}')}")
     return out.view(np.uint8)[:, :L] if L else out.view(np.uint8)

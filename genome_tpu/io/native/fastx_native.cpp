@@ -10,11 +10,17 @@
 // C ABI (ctypes-friendly), no exceptions across the boundary:
 //   gt_scan(buf, n, *nrecords, *maxlen) -> 0 ok, negative = error code
 //   gt_parse(buf, n, out, rows, L)      -> records written, negative = error
+//   gt_index(buf, n, offsets, cap)      -> record start offsets (for MT)
+//   gt_parse_mt(buf, n, offsets, rows, out, L, nthreads)
+//       -> rows decoded in parallel over [rows] ranges, negative = error
 //
-// Build: g++ -O3 -march=native -shared -fPIC (see cio.py).
+// Build: g++ -O3 -pthread -shared -fPIC (see cio.py).
 
 #include <cstdint>
 #include <cstring>
+
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -162,6 +168,98 @@ int64_t gt_parse(const char* buf, int64_t n, int8_t* out, int64_t rows,
         ++row;
     }
     return row;
+}
+
+// Record-boundary index: offsets[i] = byte offset of record i's header.
+// Single cheap pass; enables embarrassingly parallel decode. Returns the
+// record count (<= cap) or a negative error.
+int64_t gt_index(const char* buf, int64_t n, int64_t* offsets, int64_t cap) {
+    if (n <= 0) return 0;
+    const char* p = buf;
+    const char* end = buf + n;
+    const bool fastq = (*p == '@');
+    if (!fastq && *p != '>') return ERR_FORMAT;
+    int64_t count = 0;
+    while (p < end) {
+        if (*p == '\n' || *p == '\r') { ++p; continue; }
+        if (count >= cap) return ERR_OVERFLOW;
+        offsets[count++] = p - buf;
+        int64_t len = 0;
+        if (fastq) {
+            if (*p != '@') return ERR_FORMAT;
+            bool ok = true;
+            p = fastq_record(p, end, &len, &ok);
+            if (!ok) return ERR_TRUNCATED;
+        } else {
+            if (*p != '>') return ERR_FORMAT;
+            p = fasta_record(p, end, &len);
+        }
+    }
+    return count;
+}
+
+namespace {
+
+// Decode rows [r0, r1) using the record index; each row is fully owned by
+// one caller, so ranges decode concurrently without synchronization.
+void parse_rows(const char* buf, int64_t n, const int64_t* offsets,
+                int64_t r0, int64_t r1, int8_t* out, int64_t L,
+                bool fastq) {
+    const char* end = buf + n;
+    for (int64_t row = r0; row < r1; ++row) {
+        const char* p = buf + offsets[row];
+        int8_t* dst = out + row * L;
+        memset(dst, kInvalid, static_cast<size_t>(L));
+        int64_t written = 0;
+        if (fastq) {
+            p = next_line(p, end);  // header
+            const char* nl = static_cast<const char*>(
+                memchr(p, '\n', static_cast<size_t>(end - p)));
+            const char* stop = nl ? ((nl[-1] == '\r') ? nl - 1 : nl) : end;
+            for (const char* q = p; q < stop && written < L; ++q)
+                dst[written++] = kLut.t[static_cast<uint8_t>(*q)];
+        } else {
+            p = next_line(p, end);  // header
+            while (p < end && *p != '>') {
+                const char* nl = static_cast<const char*>(
+                    memchr(p, '\n', static_cast<size_t>(end - p)));
+                const char* stop = nl ? nl : end;
+                if (stop > p && stop[-1] == '\r') --stop;
+                for (const char* q = p; q < stop && written < L; ++q)
+                    dst[written++] = kLut.t[static_cast<uint8_t>(*q)];
+                p = nl ? nl + 1 : end;
+            }
+        }
+    }
+}
+
+}  // namespace
+
+// Multi-threaded decode over a prebuilt record index.
+int64_t gt_parse_mt(const char* buf, int64_t n, const int64_t* offsets,
+                    int64_t rows, int8_t* out, int64_t L,
+                    int64_t nthreads) {
+    if (n <= 0 || rows <= 0) return 0;
+    const bool fastq = (buf[offsets[0]] == '@');
+    if (!fastq && buf[offsets[0]] != '>') return ERR_FORMAT;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > rows) nthreads = rows;
+    if (nthreads == 1) {
+        parse_rows(buf, n, offsets, 0, rows, out, L, fastq);
+        return rows;
+    }
+    std::vector<std::thread> workers;
+    workers.reserve(static_cast<size_t>(nthreads));
+    const int64_t per = (rows + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+        const int64_t r0 = t * per;
+        const int64_t r1 = (r0 + per < rows) ? r0 + per : rows;
+        if (r0 >= r1) break;
+        workers.emplace_back(parse_rows, buf, n, offsets, r0, r1, out, L,
+                             fastq);
+    }
+    for (auto& w : workers) w.join();
+    return rows;
 }
 
 }  // extern "C"

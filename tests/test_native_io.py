@@ -9,7 +9,7 @@ import pytest
 from genome_tpu.io import random_genome, simulate_reads
 from genome_tpu.io.fastx import read_fastx
 from genome_tpu.io.native import native_available, parse_fastx_codes
-from genome_tpu.io.native.cio import _parse_python, _read_bytes
+from genome_tpu.io.native.cio import _map_file, _parse_python
 from genome_tpu.kernels.extract import pack_reads
 
 needs_native = pytest.mark.skipif(not native_available(),
@@ -104,5 +104,25 @@ def test_python_fallback_matches(tmp_path):
                            coverage=3, seed=10)
     p = tmp_path / "r.fastq"
     _write_fastq(p, reads)
-    got = _parse_python(_read_bytes(str(p)), None)
+    buf, _n = _map_file(str(p))
+    got = _parse_python(bytes(buf), None)
     assert (got == _expect(p)).all()
+
+
+def test_native_mt_matches_single_thread(tmp_path):
+    import numpy as np
+    from genome_tpu.io.native.cio import native_available
+    from genome_tpu.io.native import parse_fastx_codes
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    p = tmp_path / "mt.fastq"
+    with open(p, "w") as f:
+        for i in range(997):
+            n = int(rng.integers(5, 151))
+            seq = "".join("ACGTN"[j] for j in rng.integers(0, 5, n))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * n}\n")
+    a = parse_fastx_codes(str(p), threads=1)
+    b = parse_fastx_codes(str(p), threads=8)
+    assert a.shape == b.shape and (a == b).all()
