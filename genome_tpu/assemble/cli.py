@@ -23,7 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "capability set, built on JAX/XLA/Pallas)")
     p.add_argument("reads", nargs="+", help="FASTA/FASTQ input file(s), .gz ok")
     p.add_argument("-o", "--output", default="contigs.fasta",
-                   help="output FASTA path (default: %(default)s)")
+                   help="output FASTA path (default: %(default)s; .gz ok)")
+    p.add_argument("--fai", action="store_true",
+                   help="also write a samtools-style .fai index")
     p.add_argument("--k", type=int, default=21, help="k-mer length (odd, <=31)")
     p.add_argument("--min-coverage", type=int, default=2,
                    help="k-mer count threshold (default: %(default)s)")
@@ -124,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
                               counter=args.counter)
         contigs = result["contigs"]
 
-    write_fasta(args.output, contigs)
+    write_fasta(args.output, contigs, index=args.fai)
     from genome_tpu.assemble.stats import assembly_stats
     metrics.log("done", output=args.output,
                 params_hash=params.params_hash(), **assembly_stats(contigs))

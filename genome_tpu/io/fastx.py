@@ -71,11 +71,30 @@ def read_fastx(path: str | os.PathLike) -> list[str]:
 
 
 def write_fasta(path: str | os.PathLike, seqs: list[str],
-                ids: list[str] | None = None, width: int = 80) -> None:
-    """Write sequences as FASTA (ids default to contig_{i}, SEMANTICS §6)."""
-    with open(path, "w") as f:
+                ids: list[str] | None = None, width: int = 80,
+                index: bool = False) -> None:
+    """Write sequences as FASTA (ids default to contig_{i}, SEMANTICS §6).
+
+    `.gz` paths are gzip-compressed. With index=True (plain paths only),
+    a samtools-compatible `.fai` index is written alongside:
+    name, length, byte offset of first base, bases/line, bytes/line.
+    """
+    path = os.fspath(path)
+    gz = path.endswith(".gz")
+    fai: list[str] = []
+    f = io.TextIOWrapper(gzip.open(path, "wb")) if gz else open(path, "w")
+    with f:
+        offset = 0
         for i, s in enumerate(seqs):
             name = ids[i] if ids is not None else f"contig_{i}"
-            f.write(f">{name}\n")
+            header = f">{name}\n"
+            f.write(header)
+            offset += len(header)
+            fai.append(f"{name}\t{len(s)}\t{offset}\t{width}\t{width + 1}\n")
             for j in range(0, len(s), width):
-                f.write(s[j : j + width] + "\n")
+                line = s[j : j + width] + "\n"
+                f.write(line)
+                offset += len(line)
+    if index and not gz:
+        with open(path + ".fai", "w") as fx:
+            fx.writelines(fai)

@@ -128,3 +128,21 @@ def test_streaming_with_bucket_counter_matches(fastq, tmp_path):
                  "--max-device-kmers", "2000", "--quiet"]) == 0
     assert _run([fastq, "-o", b, "--k", "15", "--quiet"]) == 0
     assert read_fastx(a) == read_fastx(b)
+
+
+def test_write_fasta_gz_and_fai(tmp_path):
+    from genome_tpu.io import read_fastx, write_fasta
+    seqs = ["ACGT" * 30, "GGCA" * 7, "T" * 3]
+    plain = tmp_path / "o.fasta"
+    gz = tmp_path / "o.fasta.gz"
+    write_fasta(plain, seqs, index=True)
+    write_fasta(gz, seqs)
+    assert read_fastx(plain) == seqs == read_fastx(gz)
+    data = open(plain, "rb").read()
+    lines = open(str(plain) + ".fai").read().splitlines()
+    assert len(lines) == len(seqs)
+    for line, s in zip(lines, seqs):
+        name, ln, off, bl, byl = line.split("\t")
+        assert int(ln) == len(s) and int(bl) == 80 and int(byl) == 81
+        raw = data[int(off): int(off) + int(ln) + int(ln) // 80 + 1]
+        assert raw.replace(b"\n", b"")[: int(ln)].decode() == s
