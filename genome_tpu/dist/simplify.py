@@ -25,8 +25,6 @@ flags, like the rest of T3: on overflow the host retries bigger.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

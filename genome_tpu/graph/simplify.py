@@ -70,6 +70,8 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
 
     # cycle head = node with min oriented k-mer value (SEMANTICS §4;
     # value-based, layout-independent). Min-doubling carrying (okv, id).
+    # Acyclic graphs (the common case once clipping starts) skip the
+    # whole loop: rep_break is masked by in_cycle, so mn_i is don't-care.
     def mndbl(_, carry):
         mh, ml, mi, qq = carry
         ch, cl, ci = mh[qq], ml[qq], mi[qq]
@@ -78,8 +80,13 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
         ml = jnp.where(take, cl, ml)
         mi = jnp.where(take, ci, mi)
         return mh, ml, mi, qq[qq]
-    _, _, mn_i, _ = jax.lax.fori_loop(
-        0, rounds, mndbl, (okv_hi, okv_lo, ids, p0))
+
+    def run_mndbl(_):
+        _, _, mi, _ = jax.lax.fori_loop(
+            0, rounds, mndbl, (okv_hi, okv_lo, ids, p0))
+        return mi
+
+    mn_i = jax.lax.cond(in_cycle.any(), run_mndbl, lambda _: ids, None)
     rep_break = in_cycle & (mn_i == ids)  # this node is its cycle's head
     prev2 = jnp.where(rep_break, -1, prev_u)
 
