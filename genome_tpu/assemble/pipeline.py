@@ -190,9 +190,11 @@ def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
     bubble_len = jnp.int32(params.bubble_len_eff)
     for rnd in range(params.max_rounds):
         alive, c1 = clip_tips_pass(succ, okv_hi, okv_lo, counts, alive,
-                                   valid_node, tip_len)
+                                   valid_node, tip_len,
+                                   max_len=params.tip_len_eff)
         alive, c2 = pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive,
-                                     valid_node, bubble_len)
+                                     valid_node, bubble_len,
+                                     max_len=params.bubble_len_eff)
         changed = bool(c1) or bool(c2)
         if metrics:
             metrics.log("simplify_round", round=rnd, tips=bool(c1),

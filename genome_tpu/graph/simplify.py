@@ -45,12 +45,21 @@ def _links(outdeg, usucc):
     return next_u, prev_u
 
 
-def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
+def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                 max_len: int | None = None):
     """Chain decomposition by pointer doubling. Returns per-oriented-node
     and per-head arrays (all [2C]-shaped; OOB scatter ids are dropped).
 
     valid_node: bool [C] — which table slots hold real nodes (a prefix mask
-    single-host; an arbitrary mask for hash-partitioned global tables)."""
+    single-host; an arbitrary mask for hash-partitioned global tables).
+
+    max_len (static): when the caller only acts on chains of length
+    <= max_len (tips/bubbles), doubling may stop after
+    ~log2(max_len) + 1 rounds instead of log2(n2): truncation can never
+    mint a false head (head == ids requires prev == -1), and a longer
+    chain's computed length is min(true_len, 2^rounds) > max_len, so it
+    still fails the length predicate. Only full-rounds callers
+    (final_chain_state) see exact lengths for arbitrarily long chains."""
     capacity = alive.shape[0]
     n2 = 2 * capacity
     ids = jnp.arange(n2, dtype=I32)
@@ -60,6 +69,8 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
     next_u, prev_u = _links(outdeg, usucc)
 
     rounds = max(1, (n2 - 1).bit_length() + 1)
+    if max_len is not None:
+        rounds = min(rounds, max(2, int(max_len).bit_length() + 1))
     p0 = jnp.where(prev_u >= 0, prev_u, ids)
 
     # phase 1: converge; detect cycles (head of a path has prev == -1)
@@ -82,12 +93,18 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
         return mh, ml, mi, qq[qq]
 
     def run_mndbl(_):
-        _, _, mi, _ = jax.lax.fori_loop(
+        _, _, mi, qf = jax.lax.fori_loop(
             0, rounds, mndbl, (okv_hi, okv_lo, ids, p0))
-        return mi
+        return mi, qf
 
-    mn_i = jax.lax.cond(in_cycle.any(), run_mndbl, lambda _: ids, None)
-    rep_break = in_cycle & (mn_i == ids)  # this node is its cycle's head
+    mn_i, q_f = jax.lax.cond(in_cycle.any(), run_mndbl,
+                             lambda _: (ids, ids), None)
+    # verify the window actually wrapped: in a true cycle every member's
+    # window min is the same node; on a (possibly truncated) path, my
+    # window and my 2^rounds-ancestor's window are disjoint node sets, so
+    # their mins differ (okv values are unique). Kills the false breaks
+    # truncated doubling would otherwise mint on long paths.
+    rep_break = in_cycle & (mn_i == ids) & (mn_i[q_f] == mn_i)
     prev2 = jnp.where(rep_break, -1, prev_u)
 
     # phase 2: head + distance with cycles broken at their reps
@@ -146,10 +163,15 @@ def _kill_heads(alive, st, doomed_heads: jax.Array):
     return alive & ~canon_doomed
 
 
-@jax.jit
-def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len):
-    """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed)."""
-    st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node)
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
+                   max_len: int | None = None):
+    """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed).
+
+    max_len: static copy of tip_len enabling truncated doubling
+    (_chain_state docstring); semantics are identical with or without."""
+    st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                      max_len)
     n2 = succ.shape[0]
     ids = jnp.arange(n2, dtype=I32)
     cand = st["is_head"] & ~st["cyc_head"] & (st["length"] <= tip_len)
@@ -161,10 +183,14 @@ def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len):
     return alive2, doomed.any()
 
 
-@jax.jit
-def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, bubble_len):
-    """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed)."""
-    st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node)
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                     bubble_len, max_len: int | None = None):
+    """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed).
+
+    max_len: static copy of bubble_len enabling truncated doubling."""
+    st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                      max_len)
     n2 = succ.shape[0]
     ids = jnp.arange(n2, dtype=I32)
     outdeg, usucc = st["outdeg"], st["usucc"]
@@ -225,9 +251,11 @@ def simplify_device(succ, okv_hi, okv_lo, counts, alive, valid_node, params):
     bubble_len = jnp.int32(params.bubble_len_eff)
     for _ in range(params.max_rounds):
         alive, c1 = clip_tips_pass(succ, okv_hi, okv_lo, counts, alive,
-                                   valid_node, tip_len)
+                                   valid_node, tip_len,
+                                   max_len=params.tip_len_eff)
         alive, c2 = pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive,
-                                     valid_node, bubble_len)
+                                     valid_node, bubble_len,
+                                     max_len=params.bubble_len_eff)
         if not (bool(c1) or bool(c2)):
             break
     return alive
