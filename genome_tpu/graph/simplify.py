@@ -79,33 +79,39 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
     q = jax.lax.fori_loop(0, rounds, dbl, p0)
     in_cycle = alive_o & (prev_u[q] >= 0)
 
-    # cycle head = node with min oriented k-mer value (SEMANTICS §4;
-    # value-based, layout-independent). Min-doubling carrying (okv, id).
-    # Acyclic graphs (the common case once clipping starts) skip the
-    # whole loop: rep_break is masked by in_cycle, so mn_i is don't-care.
-    def mndbl(_, carry):
-        mh, ml, mi, qq = carry
-        ch, cl, ci = mh[qq], ml[qq], mi[qq]
-        take = u64.lt(ch, cl, mh, ml)
-        mh = jnp.where(take, ch, mh)
-        ml = jnp.where(take, cl, ml)
-        mi = jnp.where(take, ci, mi)
-        return mh, ml, mi, qq[qq]
+    if max_len is None:
+        # cycle head = node with min oriented k-mer value (SEMANTICS §4;
+        # value-based, layout-independent). Min-doubling carrying
+        # (okv, id). Acyclic graphs skip the loop via lax.cond.
+        def mndbl(_, carry):
+            mh, ml, mi, qq = carry
+            ch, cl, ci = mh[qq], ml[qq], mi[qq]
+            take = u64.lt(ch, cl, mh, ml)
+            mh = jnp.where(take, ch, mh)
+            ml = jnp.where(take, cl, ml)
+            mi = jnp.where(take, ci, mi)
+            return mh, ml, mi, qq[qq]
 
-    def run_mndbl(_):
-        _, _, mi, qf = jax.lax.fori_loop(
-            0, rounds, mndbl, (okv_hi, okv_lo, ids, p0))
-        return mi, qf
+        def run_mndbl(_):
+            _, _, mi, qf = jax.lax.fori_loop(
+                0, rounds, mndbl, (okv_hi, okv_lo, ids, p0))
+            return mi, qf
 
-    mn_i, q_f = jax.lax.cond(in_cycle.any(), run_mndbl,
-                             lambda _: (ids, ids), None)
-    # verify the window actually wrapped: in a true cycle every member's
-    # window min is the same node; on a (possibly truncated) path, my
-    # window and my 2^rounds-ancestor's window are disjoint node sets, so
-    # their mins differ (okv values are unique). Kills the false breaks
-    # truncated doubling would otherwise mint on long paths.
-    rep_break = in_cycle & (mn_i == ids) & (mn_i[q_f] == mn_i)
-    prev2 = jnp.where(rep_break, -1, prev_u)
+        mn_i, q_f = jax.lax.cond(in_cycle.any(), run_mndbl,
+                                 lambda _: (ids, ids), None)
+        # verify the window actually wrapped: in a true cycle every
+        # member's window min is the same node; on a path, my window and
+        # my 2^rounds-ancestor's window are disjoint node sets, so their
+        # mins differ (okv values are unique).
+        rep_break = in_cycle & (mn_i == ids) & (mn_i[q_f] == mn_i)
+        prev2 = jnp.where(rep_break, -1, prev_u)
+    else:
+        # tip/bubble passes never act on cycles: unbroken cycle members
+        # never satisfy head == ids (no fixpoint), and the wraparound
+        # case (cycle length divides 2^rounds, head == ids everywhere)
+        # is excluded by the candidates' ~cyc_head condition — so cycle
+        # breaking, and its 4-gather doubling loop, can be skipped.
+        prev2 = prev_u
 
     # phase 2: head + distance with cycles broken at their reps
     def hd(_, carry):
