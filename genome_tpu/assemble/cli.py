@@ -42,11 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-device-kmers", type=int, default=None,
                    help="stream counting in chunks of this many windows "
                         "(bounds device memory; default: one shot)")
-    p.add_argument("--counter", choices=["sort", "bucket", "hashtable"],
+    p.add_argument("--counter",
+                   choices=["sort", "partition", "bucket", "hashtable"],
                    default="sort",
                    help="counting kernel: global sort+segmented-reduce "
-                        "(default), bucket-partition sort (TPU fast path), "
-                        "or batched open-addressing HBM hash table")
+                        "(default), Pallas partition counter (TPU fast "
+                        "path), bucket-partition sort, or batched "
+                        "open-addressing HBM hash table (parity oracle; "
+                        "~0.6 M k-mers/s — 100x slower than sort, unusable "
+                        "beyond toy inputs)")
     p.add_argument("--backend", choices=["device", "golden"], default="device",
                    help="device = JAX/TPU pipeline, golden = NumPy reference")
     p.add_argument("--io", choices=["native", "python"], default="native",
@@ -104,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
     metrics.log("phase_end", phase="read_input",
                 wall_s=round(_time.perf_counter() - t0, 4),
                 n_reads=n_reads, total_bp=total_bp)
+
+    if args.counter == "hashtable" and total_bp > 5_000_000:
+        print("warning: --counter hashtable is a parity oracle "
+              "(~0.6 M k-mers/s); expect ~{:.0f} min for this input. "
+              "Use --counter sort or partition.".format(
+                  total_bp / 0.6e6 / 60), file=sys.stderr)
 
     if args.resume and not args.checkpoint_dir:
         print("error: --resume requires --checkpoint-dir", file=sys.stderr)

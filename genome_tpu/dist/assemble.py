@@ -3,15 +3,12 @@
 reads --DP split--> per-shard extraction (host->device)
       --all_to_all #1--> sharded counting at k-mer owners
       --all_to_all #2/#3--> sharded graph build (boundary probes + replies)
-      --> simplification + emission on the merged graph.
+      --> sharded simplification (dist/simplify.py remote-gather pointer
+          doubling) --> contig emission.
 
-v1 scope note: counting and graph build (the throughput-dominant phases)
-are fully sharded; simplification then runs replicated on the merged
-hash-partitioned graph (every pin is k-mer-value-based, so contigs are
-bit-identical to the single-device pipeline for every shard count —
-CI-enforced). Sharded pointer-jumping simplification is the planned
-follow-up for graphs exceeding one chip's HBM (SURVEY §5.3 non-goal
-ladder).
+Counting, graph build, and simplification all run sharded; every pin is
+k-mer-value-based, so contigs are bit-identical to the single-device
+pipeline for every shard count (CI-enforced).
 """
 
 from __future__ import annotations

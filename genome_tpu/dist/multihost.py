@@ -31,7 +31,7 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
         kwargs["local_device_ids"] = list(range(local_device_count))
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id, **kwargs)
 
 
 def assemble_multihost(local_reads, params: AssemblyParams | None = None,

@@ -33,7 +33,8 @@ def iter_fastx(path: str | os.PathLike) -> Iterator[tuple[str, str]]:
 
 def _iter_fasta(f) -> Iterator[tuple[str, str]]:
     # f is positioned just after the first '>'
-    name = f.readline().strip().split()[0] if True else ""
+    first = f.readline().strip()
+    name = first.split()[0] if first else ""
     chunks: list[str] = []
     for line in f:
         if line.startswith(">"):
@@ -57,7 +58,8 @@ def _iter_fastq(f) -> Iterator[tuple[str, str]]:
         if not qual:
             raise ValueError("truncated FASTQ record")
         assert plus.startswith("+"), "malformed FASTQ"
-        name = header.strip().split()[0]
+        hs = header.strip()
+        name = hs.split()[0] if hs else ""
         yield name, seq
         nxt = f.read(1)
         if not nxt:
