@@ -56,7 +56,10 @@ def main() -> int:
     genome_len = int(4_600_000 * scale)
     read_len = 100
     num_reads = int(genome_len * 24 / read_len)
-    batch = 1 << 17  # reads per device batch
+    # batch only sets read-count padding granularity (single dispatch):
+    # 1<<17 padded 75k phantom reads = 6M sentinel windows through the
+    # sort (6.4% of the stream) at E. coli scale
+    batch = 4096
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
@@ -96,7 +99,11 @@ def main() -> int:
     def run():
         th, tl, n_uni, ovf = count(codes_dev)
         n = int(n_uni)  # host sync; then compact the table before build
-        step = max(256, 1 << max(0, n.bit_length() - 3))
+        # 1/64 rounding granularity: the build join sorts 4*cap2 records,
+        # so slack here is the single biggest build cost knob (a 1/8 step
+        # padded up to 19% at E. coli scale). Recompiles when n_unique
+        # crosses a step boundary; the persistent cache absorbs it.
+        step = max(256, 1 << max(0, n.bit_length() - 6))
         cap2 = min(capacity, -(-n // step) * step)
         chk = build(th[:cap2], tl[:cap2], n_uni)
         return n, bool(ovf), int(chk)

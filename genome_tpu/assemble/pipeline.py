@@ -258,7 +258,9 @@ def run_pipeline(reads, params: AssemblyParams,
         # and chain work scale with capacity, not real nodes. Rounded so
         # compiled shapes stay bounded (<= 8 per power-of-two decade).
         n_int = int(n_unique)
-        step = max(256, 1 << max(0, n_int.bit_length() - 3))
+        # 1/64 granularity: build sorts 4*cap2 records, so table slack is
+        # the biggest build-phase cost knob (1/8 steps padded up to ~19%)
+        step = max(256, 1 << max(0, n_int.bit_length() - 6))
         cap2 = min(table_hi.shape[0], -(-max(n_int, 1) // step) * step)
         table_hi, table_lo = table_hi[:cap2], table_lo[:cap2]
         counts = counts[:cap2]

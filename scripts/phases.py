@@ -74,7 +74,7 @@ def main():
     n = int(n_uni)
     print(f"extract+count: {dt*1e3:.0f} ms (unique={n})", flush=True)
 
-    step = max(256, 1 << max(0, n.bit_length() - 3))
+    step = max(256, 1 << max(0, n.bit_length() - 6))
     cap2 = -(-n // step) * step
     th2, tl2 = th[:cap2], tl[:cap2]
 
