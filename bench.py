@@ -124,11 +124,68 @@ def main() -> int:
     n_windows = num_reads * (read_len - k + 1)  # real windows only
     value = n_windows / dt
     target = 0.8 * bw / _RADIX_BYTES_PER_KMER
+
+    # ---- e2e reads -> contigs wall (count+build+simplify+emit), on reads
+    # with a 0.2% substitution error rate so simplification has real work.
+    # Reported inside the same single JSON line as extra keys.
+    codes_err = all_codes.copy()
+    err = rng.random((num_reads, read_len)) < 0.002
+    nerr = int(err.sum())
+    codes_err[:num_reads][err] = (
+        (all_codes[:num_reads][err] + rng.integers(1, 4, nerr, dtype=np.uint8))
+        % 4)
+    from genome_tpu.graph.build import build_graph_device as _bgd
+    from genome_tpu.graph.contigs import emit_contigs
+    from genome_tpu.graph.simplify import (clip_tips_pass, final_chain_state,
+                                           pop_bubbles_pass)
+    from genome_tpu.params import AssemblyParams
+
+    params = AssemblyParams(k=k, min_coverage=2)
+
+    @jax.jit
+    def count_full(codes):
+        his, los = extract_canonical_kmers(codes, k)
+        r = count_kmers_device(his, los, 2, capacity)
+        return (r["table_hi"], r["table_lo"], r["counts"], r["n_unique"],
+                r["overflow"])
+
+    build_jit = jax.jit(lambda a, b, m: _bgd(a, b, m, k))
+
+    def e2e():
+        th, tl, cnts, n_uni, _ = count_full(jnp.asarray(codes_err))
+        n = int(n_uni)
+        step = max(256, 1 << max(0, n.bit_length() - 6))
+        cap2 = min(capacity, -(-n // step) * step)
+        th, tl, cnts = th[:cap2], tl[:cap2], cnts[:cap2]
+        succ, okh, okl = build_jit(th, tl, n_uni)
+        alive = jnp.ones((cap2,), dtype=jnp.bool_)
+        valid = jnp.arange(cap2, dtype=jnp.int32) < n_uni
+        tip_len = jnp.int32(params.tip_len_eff)
+        bub_len = jnp.int32(params.bubble_len_eff)
+        for _ in range(params.max_rounds):
+            alive, c1 = clip_tips_pass(succ, okh, okl, cnts, alive, valid,
+                                       tip_len, max_len=params.tip_len_eff)
+            alive, c2 = pop_bubbles_pass(succ, okh, okl, cnts, alive, valid,
+                                         bub_len,
+                                         max_len=params.bubble_len_eff)
+            if not (bool(c1) or bool(c2)):
+                break
+        fs = final_chain_state(succ, okh, okl, cnts, alive, valid)
+        return emit_contigs(fs, okh, okl, k, params.min_contig_len)
+
+    contigs = e2e()  # warmup/compile
+    t0 = time.perf_counter()
+    contigs = e2e()
+    e2e_dt = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "kmers_per_sec_per_chip_count_build",
         "value": round(value),
         "unit": "kmers/s",
         "vs_baseline": round(value / target, 4),
+        "e2e_wall_s": round(e2e_dt, 3),
+        "e2e_contigs": len(contigs),
+        "e2e_bp": sum(map(len, contigs)),
     }))
     print(f"# device={dev.device_kind} windows={n_windows} "
           f"unique={n_uni} wall_s={dt:.3f} hbm_target={target:.3e}",

@@ -102,9 +102,11 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
             metrics.log("dist_query_overflow", query_cap=query_cap)
 
     # --- simplify: sharded pointer doubling over the mesh (remote-gather
-    # exchanges, dist/simplify.py); falls back to the replicated passes on
-    # routing-capacity overflow. Both implement the same value-based pins,
-    # so contigs are identical either way (CI-enforced). ---
+    # exchanges, dist/simplify.py). simplify_sharded retries internally
+    # with doubled routing slack on overflow; only an exhausted retry
+    # ladder falls back to the replicated passes (correctness escape).
+    # Both implement the same value-based pins, so contigs are identical
+    # either way (CI-enforced). ---
     n_loc = np.asarray(n_uni)
     valid = (np.arange(S * local_cap).reshape(S, local_cap)
              % local_cap < n_loc[:, None]).reshape(-1)
@@ -121,6 +123,36 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
                 alive_sh = None
                 metrics.log("dist_simplify_overflow_fallback")
 
+    if alive_sh is not None:
+        # --- sharded emission: head/dist/primary stay sharded over the
+        # mesh (the final chain state never materializes a global-graph
+        # array on one device); only the emission tuples cross to the
+        # host, where string assembly happens anyway ---
+        from genome_tpu.dist.simplify import make_sharded_final
+        with metrics.phase("dist_final_sharded") as info:
+            fovf = None
+            slack = 1.35
+            for _ in range(3):
+                final = make_sharded_final(mesh, "shard", local_cap, slack)
+                head, dist, primary, alive_o, fovf = final(
+                    succ, okv_hi, okv_lo, cnts, alive_sh, n_uni)
+                if not bool(np.asarray(fovf).any()):
+                    break
+                slack *= 2.0
+                metrics.log("dist_final_overflow_retry", slack=slack)
+            info["overflow"] = bool(np.asarray(fovf).any())
+        if not bool(np.asarray(fovf).any()):
+            with metrics.phase("dist_contigs") as info:
+                contigs = emit_contigs(
+                    dict(head=head, dist=dist, primary=primary,
+                         alive_o=alive_o),
+                    okv_hi, okv_lo, params.k, params.min_contig_len,
+                    node_primary=True)
+                info["n_contigs"] = len(contigs)
+            return contigs
+        metrics.log("dist_final_overflow_fallback")
+
+    # replicated fallback path (single device holds the global graph)
     with metrics.phase("dist_simplify") as info:
         dev = jax.devices()[0]
         succ_g = jax.device_put(np.asarray(succ), dev)

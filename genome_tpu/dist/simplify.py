@@ -169,27 +169,42 @@ def _paired(v):
     return v[0::2], v[1::2]
 
 
-def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
+def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
+                          slack: float = 1.35,
+                          tip_max_len: int | None = None,
+                          bubble_max_len: int | None = None):
     """Builds jitted sharded tip-clip and bubble-pop passes.
 
     All arrays are global-shaped, sharded over `axis`:
     succ [S*cl2, 4] (global oriented ids), okv_hi/lo [S*cl2],
     counts [S*local_capacity], alive [S*local_capacity] bool,
     n_loc [S] int32. Each pass returns (alive, changed [S], overflow [S]).
+
+    slack: routing-capacity multiplier; the host retries with a bigger
+    one on overflow instead of falling back to a replicated pass.
+    tip_max_len / bubble_max_len: static copies of the pass thresholds —
+    like the local passes, doubling truncates to ~log2(max_len) rounds
+    and the cycle machinery (the q and min-doubling loops, one and four
+    remote exchanges per round) is skipped entirely: unbroken cycle
+    members never converge to a head fixpoint, and the wraparound case
+    is excluded by the candidates' ~cyc_head guard, which only needs the
+    single prev[p] exchange.
     """
     num_shards = S = mesh.shape[axis]
     cl = local_capacity
     cl2 = 2 * cl
     n2g = S * cl2
     rounds = max(1, (n2g - 1).bit_length() + 1)
-    gcap1 = _cap_for(cl2, S)
-    gcap4 = _cap_for(4 * cl2, S)
+    gcap1 = _cap_for(cl2, S, slack)
+    gcap4 = _cap_for(4 * cl2, S, slack)
 
     def chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                    remote_gather, seg_route, me):
+                    remote_gather, seg_route, me, max_len=None):
         ids_g = me * cl2 + jnp.arange(cl2, dtype=I32)  # my global ids
         alive_o = jnp.repeat(alive & valid_node, 2)
         ovf = jnp.zeros((), jnp.bool_)
+        rnds = rounds if max_len is None else min(
+            rounds, max(2, int(max_len).bit_length() + 1))
 
         # degrees: alive bit of each successor (remote)
         tgt = succ.reshape(-1)
@@ -211,48 +226,46 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
         nx = next_u[jnp.arange(cl2, dtype=I32) ^ 1]
         prev_u = jnp.where(nx >= 0, nx ^ 1, -1)
 
-        # pointer doubling on global ids (remote q[q]); self-pointers are
-        # fixpoints — skipping them keeps request loads at ~M/S
+        # head + distance doubling with UNBROKEN prev first (remote q[q];
+        # self-pointers are fixpoints — skipping them keeps request loads
+        # at ~M/S). The converged pointer doubles as the cycle detector,
+        # so there is no separate q-loop.
         p0 = jnp.where(prev_u >= 0, prev_u, ids_g)
-
-        def dbl(_, carry):
-            q, of = carry
-            (qq,), o = remote_gather((q,), q, q != ids_g, gcap1, (q,))
-            return qq, of | o
-        q, o3 = jax.lax.fori_loop(0, rounds, dbl, (p0, ovf))
-        ovf = o3
-        # q == self implies prev_u[self] < 0, so the skipped default is -1
-        (prev_q,), o4 = remote_gather((prev_u,), q, q != ids_g, gcap1,
-                                      (I32(-1),))
-        ovf |= o4
-        in_cycle = alive_o & (prev_q >= 0)
-
-        # cycle head: min oriented value over the cycle (min-doubling);
-        # gather at self returns own carry -> no-op, so skip with defaults
-        def mndbl(_, carry):
-            mh, ml, mi, qq, of = carry
-            (ch, cm, ci, q2), o = remote_gather(
-                (mh, ml, mi, qq), qq, qq != ids_g, gcap1,
-                (mh, ml, mi, qq))
-            take = u64.lt(ch, cm, mh, ml)
-            return (jnp.where(take, ch, mh), jnp.where(take, cm, ml),
-                    jnp.where(take, ci, mi), q2, of | o)
-        mh, ml, mn_i, _, ovf = jax.lax.fori_loop(
-            0, rounds, mndbl, (okv_hi, okv_lo, ids_g, p0, ovf))
-        rep_break = in_cycle & (mn_i == ids_g)
-        prev2 = jnp.where(rep_break, -1, prev_u)
-
-        # head + distance with cycles broken; p == self implies root
-        # (d == 0), so skipped defaults are (p, 0)
-        p = jnp.where(prev2 >= 0, prev2, ids_g)
-        d = jnp.where(prev2 >= 0, 1, 0).astype(I32)
 
         def hd(_, carry):
             pp, dd, of = carry
             (p2, dp), o = remote_gather((pp, dd), pp, pp != ids_g, gcap1,
                                         (pp, I32(0)))
             return p2, dd + dp, of | o
-        p, d, ovf = jax.lax.fori_loop(0, rounds, hd, (p, d, ovf))
+
+        d0 = jnp.where(prev_u >= 0, 1, 0).astype(I32)
+        p, d, ovf = jax.lax.fori_loop(0, rnds, hd, (p0, d0, ovf))
+        # p == self implies prev_u[self] < 0, so the skipped default is -1
+        (prev_p,), o4 = remote_gather((prev_u,), p, p != ids_g, gcap1,
+                                      (I32(-1),))
+        ovf |= o4
+        in_cycle = alive_o & (prev_p >= 0)
+
+        if max_len is None:
+            # cycle head: min oriented value over the cycle
+            # (min-doubling); gather at self returns own carry -> no-op,
+            # so skip with defaults. Then redo head/dist with cycles
+            # broken at their reps. Runs only in the full/final state.
+            def mndbl(_, carry):
+                mh, ml, mi, qq, of = carry
+                (ch, cm, ci, q2), o = remote_gather(
+                    (mh, ml, mi, qq), qq, qq != ids_g, gcap1,
+                    (mh, ml, mi, qq))
+                take = u64.lt(ch, cm, mh, ml)
+                return (jnp.where(take, ch, mh), jnp.where(take, cm, ml),
+                        jnp.where(take, ci, mi), q2, of | o)
+            mh, ml, mn_i, _, ovf = jax.lax.fori_loop(
+                0, rounds, mndbl, (okv_hi, okv_lo, ids_g, p0, ovf))
+            rep_break = in_cycle & (mn_i == ids_g)
+            prev2 = jnp.where(rep_break, -1, prev_u)
+            p2_ = jnp.where(prev2 >= 0, prev2, ids_g)
+            d2_ = jnp.where(prev2 >= 0, 1, 0).astype(I32)
+            p, d, ovf = jax.lax.fori_loop(0, rounds, hd, (p2_, d2_, ovf))
         head = jnp.where(alive_o, p, -1)
         dist = jnp.where(alive_o, d, 0)
         is_head = alive_o & (head == ids_g)
@@ -301,10 +314,16 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
             present & (r_oh == cyc_hi[lseg]), r_ol, U32(0xFFFFFFFF))
         cyc_lo = jax.ops.segment_min(lo_cand, lseg, num_segments=cl2)
 
-        # twin head okv: okv(rc(tail)) for paths, cycle min for cycles
+        # twin head okv: okv(rc(tail)) for paths, cycle min for cycles.
+        # The paired arrays live in the CANONICAL id space (global id =
+        # shard*cl + local, half the oriented space), so the gather must
+        # come from a canonical-space ops instance — the oriented-space
+        # remote_gather would compute owners as idx // cl2 and route every
+        # shard-(>0) request to the wrong owner.
+        rg_canon, _ = make_ops(axis, S, cl)
         ph0, ph1 = _paired(okv_hi)
         pl0, pl1 = _paired(okv_lo)
-        (t_h0, t_h1, t_l0, t_l1), o6 = remote_gather(
+        (t_h0, t_h1, t_l0, t_l1), o6 = rg_canon(
             (ph0, ph1, pl0, pl1), jnp.clip(tail_of, 0, None) // 2,
             tail_of >= 0, gcap1,
             (U32(0xFFFFFFFF),) * 4)
@@ -342,7 +361,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
         valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
         remote_gather, seg_route = make_ops(axis, S, cl2)
         st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                         remote_gather, seg_route, me)
+                         remote_gather, seg_route, me, max_len=tip_max_len)
         ids = jnp.arange(cl2, dtype=I32)
         cand = st["is_head"] & ~st["cyc_head"] & (st["length"] <= tip_len[0])
         start_open = st["outdeg"][ids ^ 1] == 0
@@ -365,7 +384,8 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
         valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
         remote_gather, seg_route = make_ops(axis, S, cl2)
         st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                         remote_gather, seg_route, me)
+                         remote_gather, seg_route, me,
+                         max_len=bubble_max_len)
         ids = jnp.arange(cl2, dtype=I32)
         ovf = st["ovf"]
         outdeg, usucc = st["outdeg"], st["usucc"]
@@ -382,12 +402,14 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
         s = jnp.where(cand, succ_tail, 0)
         s = jnp.where(cand & (s >= 0), s, 0)
 
-        # okv at p, p^1, s, s^1 (paired gathers: one routing per endpoint)
+        # okv at p, p^1, s, s^1 (paired gathers: one routing per endpoint;
+        # canonical-space ops — see the twin gather note in chain_state)
+        rg_canon, _ = make_ops(axis, S, cl)
         ph0, ph1 = _paired(okv_hi)
         pl0, pl1 = _paired(okv_lo)
-        (p_h0, p_h1, p_l0, p_l1), o2 = remote_gather(
+        (p_h0, p_h1, p_l0, p_l1), o2 = rg_canon(
             (ph0, ph1, pl0, pl1), p // 2, cand, gcap1, (U32(0),) * 4)
-        (s_h0, s_h1, s_l0, s_l1), o3 = remote_gather(
+        (s_h0, s_h1, s_l0, s_l1), o3 = rg_canon(
             (ph0, ph1, pl0, pl1), s // 2, cand, gcap1, (U32(0),) * 4)
         ovf |= o2 | o3
         podd = (p & 1) == 1
@@ -440,6 +462,29 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
         ovf |= o6
         return alive2, changed[None], ovf[None]
 
+    def final_fn(succ, okv_hi, okv_lo, counts, alive, n_loc):
+        """Sharded final chain state for emission: head/dist with cycles
+        broken, plus the node-level primary flag (head's primary gathered
+        back to every member), all staying sharded — no shard ever holds
+        a global-graph-sized array."""
+        succ = succ.reshape(cl2, 4)
+        okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
+        counts, alive = counts.reshape(-1), alive.reshape(-1)
+        me = jax.lax.axis_index(axis).astype(I32)
+        valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
+        remote_gather, seg_route = make_ops(axis, S, cl2)
+        st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                         remote_gather, seg_route, me, max_len=None)
+        prim_head = st["is_head"] & u64.le(okv_hi, okv_lo,
+                                           st["twin_hi"], st["twin_lo"])
+        head = st["head"]
+        (pm,), o = remote_gather(
+            (prim_head.astype(U32),), jnp.clip(head, 0, None),
+            st["alive_o"] & (head >= 0), gcap1, (U32(0),))
+        primary_node = st["alive_o"] & (head >= 0) & (pm != 0)
+        ovf = st["ovf"] | o
+        return head, st["dist"], primary_node, st["alive_o"], ovf[None]
+
     specs_in = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P())
     specs_out = (P(axis), P(axis), P(axis))
     tips = jax.jit(jax.shard_map(tips_fn, mesh=mesh, check_vma=False,
@@ -449,28 +494,54 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int):
                                     check_vma=False,
                                     in_specs=specs_in,
                                     out_specs=specs_out))
-    return tips, bubbles
+    final = jax.jit(jax.shard_map(final_fn, mesh=mesh, check_vma=False,
+                                  in_specs=specs_in[:6],
+                                  out_specs=(P(axis),) * 5))
+    return tips, bubbles, final
+
+
+def make_sharded_final(mesh: Mesh, axis: str, local_capacity: int,
+                       slack: float = 1.35):
+    """Jitted sharded final-chain-state fn (see final_fn above)."""
+    return make_sharded_simplify(mesh, axis, local_capacity, slack)[2]
 
 
 def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
-                     succ, okv_hi, okv_lo, counts, alive, n_loc, params):
+                     succ, okv_hi, okv_lo, counts, alive, n_loc, params,
+                     max_slack_retries: int = 3):
     """Host fixpoint loop over the sharded passes (SEMANTICS §5 order).
 
-    Returns (alive, overflowed: bool). On overflow the caller should fall
-    back or retry with larger capacities (the jitted passes use static
-    per-routing capacities derived from local_capacity).
+    On routing-capacity overflow the loop RETRIES from the initial alive
+    mask with doubled bucket slack (rebuilt jitted passes) instead of
+    falling back to a replicated pass — one skewed hash bucket no longer
+    silently abandons the multi-shard memory guarantee. Partial results
+    from an overflowed attempt are always discarded.
+
+    Returns (alive, overflowed: bool); overflowed only after all retries.
     """
     import numpy as np
-    tips, bubbles = make_sharded_simplify(mesh, axis, local_capacity)
+    alive0 = alive
     tip_len = jnp.asarray([params.tip_len_eff], I32)
     bubble_len = jnp.asarray([params.bubble_len_eff], I32)
-    for _ in range(params.max_rounds):
-        alive, c1, o1 = tips(succ, okv_hi, okv_lo, counts, alive, n_loc,
-                             tip_len)
-        alive, c2, o2 = bubbles(succ, okv_hi, okv_lo, counts, alive, n_loc,
-                                bubble_len)
-        if bool(np.asarray(o1).any()) or bool(np.asarray(o2).any()):
-            return alive, True
-        if not (bool(np.asarray(c1).any()) or bool(np.asarray(c2).any())):
-            break
-    return alive, False
+    slack = 1.35
+    for _attempt in range(max_slack_retries):
+        tips, bubbles, _ = make_sharded_simplify(
+            mesh, axis, local_capacity, slack=slack,
+            tip_max_len=params.tip_len_eff,
+            bubble_max_len=params.bubble_len_eff)
+        alive = alive0
+        overflowed = False
+        for _ in range(params.max_rounds):
+            alive, c1, o1 = tips(succ, okv_hi, okv_lo, counts, alive, n_loc,
+                                 tip_len)
+            alive, c2, o2 = bubbles(succ, okv_hi, okv_lo, counts, alive,
+                                    n_loc, bubble_len)
+            if bool(np.asarray(o1).any()) or bool(np.asarray(o2).any()):
+                overflowed = True
+                break
+            if not (bool(np.asarray(c1).any()) or bool(np.asarray(c2).any())):
+                break
+        if not overflowed:
+            return alive, False
+        slack *= 2.0
+    return alive0, True

@@ -14,12 +14,16 @@ from genome_tpu.utils import dna
 
 
 def emit_contigs(final_state, okv_hi, okv_lo, k: int,
-                 min_contig_len: int = 0) -> list[str]:
+                 min_contig_len: int = 0, node_primary: bool = False) -> list[str]:
     """Assemble canonical contig strings from chain state.
 
     Args:
       final_state: dict with head/dist/primary/alive_o (device or numpy).
       okv_hi, okv_lo: oriented k-mer values per oriented node.
+      node_primary: primary is a per-NODE flag (the head's primary already
+        gathered to every chain member — the sharded final state's form,
+        where indexing primary[head] would need a cross-shard gather)
+        instead of a per-head flag indexed via head.
     Returns sorted canonical contig list.
     """
     head = np.asarray(final_state["head"])
@@ -29,7 +33,10 @@ def emit_contigs(final_state, okv_hi, okv_lo, k: int,
     okv = (np.asarray(okv_hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
         okv_lo, dtype=np.uint64)
 
-    sel = alive_o & (head >= 0) & primary[np.clip(head, 0, None)]
+    if node_primary:
+        sel = alive_o & (head >= 0) & primary
+    else:
+        sel = alive_o & (head >= 0) & primary[np.clip(head, 0, None)]
     if not sel.any():
         return []
     vh, vd, vv = head[sel], dist[sel], okv[sel]

@@ -33,14 +33,17 @@ def _degrees(succ, alive_o):
     return outdeg, usucc
 
 
+def _pairswap(x):
+    """x[i ^ 1] without a gather: the RC twin lives in the paired slot."""
+    return x.reshape(-1, 2)[:, ::-1].reshape(-1)
+
+
 def _links(outdeg, usucc):
     """next/prev unique-link arrays (SEMANTICS §4)."""
-    n2 = outdeg.shape[0]
-    ids = jnp.arange(n2, dtype=I32)
     has = outdeg == 1
     w = jnp.where(has, usucc, 0)
     next_u = jnp.where(has & (outdeg[w ^ 1] == 1), w, -1)
-    nx = next_u[ids ^ 1]
+    nx = _pairswap(next_u)
     prev_u = jnp.where(nx >= 0, nx ^ 1, -1)
     return next_u, prev_u
 
@@ -73,16 +76,28 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
         rounds = min(rounds, max(2, int(max_len).bit_length() + 1))
     p0 = jnp.where(prev_u >= 0, prev_u, ids)
 
-    # phase 1: converge; detect cycles (head of a path has prev == -1)
-    def dbl(_, q):
-        return q[q]
-    q = jax.lax.fori_loop(0, rounds, dbl, p0)
-    in_cycle = alive_o & (prev_u[q] >= 0)
+    # head + distance doubling with UNBROKEN prev first: its converged
+    # pointer doubles as the cycle detector (a path node's 2^rounds
+    # ancestor is its head, with prev == -1; a cycle member's is still
+    # in-cycle), so the old separate phase-1 q-loop (one more gather per
+    # round) is gone. When cycles exist, phase 2 reruns with prev broken
+    # at the cycle reps — acyclic graphs (the common case) never pay.
+    def hd(_, carry):
+        pp, dd = carry
+        return pp[pp], dd + dd[pp]
+
+    def run_phase2(prev_arr):
+        p_ = jnp.where(prev_arr >= 0, prev_arr, ids)
+        d_ = jnp.where(prev_arr >= 0, 1, 0).astype(I32)
+        return jax.lax.fori_loop(0, rounds, hd, (p_, d_))
+
+    p, d = run_phase2(prev_u)
+    in_cycle = alive_o & (prev_u[p] >= 0)
 
     if max_len is None:
         # cycle head = node with min oriented k-mer value (SEMANTICS §4;
         # value-based, layout-independent). Min-doubling carrying
-        # (okv, id). Acyclic graphs skip the loop via lax.cond.
+        # (okv, id); then redo head/dist with cycles broken at reps.
         def mndbl(_, carry):
             mh, ml, mi, qq = carry
             ch, cl, ci = mh[qq], ml[qq], mi[qq]
@@ -92,34 +107,24 @@ def _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
             mi = jnp.where(take, ci, mi)
             return mh, ml, mi, qq[qq]
 
-        def run_mndbl(_):
-            _, _, mi, qf = jax.lax.fori_loop(
+        def cycle_path(_):
+            _, _, mn_i, q_f = jax.lax.fori_loop(
                 0, rounds, mndbl, (okv_hi, okv_lo, ids, p0))
-            return mi, qf
+            # verify the window actually wrapped: in a true cycle every
+            # member's window min is the same node; on a path, my window
+            # and my 2^rounds-ancestor's window are disjoint node sets,
+            # so their mins differ (okv values are unique).
+            rep_break = in_cycle & (mn_i == ids) & (mn_i[q_f] == mn_i)
+            prev2 = jnp.where(rep_break, -1, prev_u)
+            return run_phase2(prev2)
 
-        mn_i, q_f = jax.lax.cond(in_cycle.any(), run_mndbl,
-                                 lambda _: (ids, ids), None)
-        # verify the window actually wrapped: in a true cycle every
-        # member's window min is the same node; on a path, my window and
-        # my 2^rounds-ancestor's window are disjoint node sets, so their
-        # mins differ (okv values are unique).
-        rep_break = in_cycle & (mn_i == ids) & (mn_i[q_f] == mn_i)
-        prev2 = jnp.where(rep_break, -1, prev_u)
-    else:
-        # tip/bubble passes never act on cycles: unbroken cycle members
-        # never satisfy head == ids (no fixpoint), and the wraparound
-        # case (cycle length divides 2^rounds, head == ids everywhere)
-        # is excluded by the candidates' ~cyc_head condition — so cycle
-        # breaking, and its 4-gather doubling loop, can be skipped.
-        prev2 = prev_u
-
-    # phase 2: head + distance with cycles broken at their reps
-    def hd(_, carry):
-        p, d = carry
-        return p[p], d + d[p]
-    p = jnp.where(prev2 >= 0, prev2, ids)
-    d = jnp.where(prev2 >= 0, 1, 0).astype(I32)
-    p, d = jax.lax.fori_loop(0, rounds, hd, (p, d))
+        p, d = jax.lax.cond(in_cycle.any(), cycle_path,
+                            lambda _: (p, d), None)
+    # tip/bubble (max_len) passes never act on cycles: unbroken cycle
+    # members never satisfy head == ids (no fixpoint), and the wraparound
+    # case (cycle length divides 2^rounds, head == ids everywhere) is
+    # excluded by the candidates' ~cyc_head condition — so cycle breaking
+    # is skipped there entirely.
     head = jnp.where(alive_o, p, -1)
     dist = jnp.where(alive_o, d, 0)
     is_head = alive_o & (head == ids)
@@ -170,9 +175,12 @@ def _kill_heads(alive, st, doomed_heads: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
-def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
-                   max_len: int | None = None):
-    """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed).
+def clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                         tip_len, max_len: int | None = None):
+    """One tip-clipping pass, dense form: per-node truncated pointer
+    doubling over all 2C oriented nodes (SEMANTICS §5). Kept as the
+    semantic oracle and as the fallback when the walk pass's candidate
+    buffer overflows. Returns (alive, changed).
 
     max_len: static copy of tip_len enabling truncated doubling
     (_chain_state docstring); semantics are identical with or without."""
@@ -190,9 +198,10 @@ def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
-def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                     bubble_len, max_len: int | None = None):
-    """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed).
+def pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                           bubble_len, max_len: int | None = None):
+    """One bubble-popping pass, dense form (oracle / overflow fallback;
+    see clip_tips_pass_dense). Returns (alive, changed).
 
     max_len: static copy of bubble_len enabling truncated doubling."""
     st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
@@ -237,6 +246,225 @@ def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
         jnp.where(doomed_sorted, sh, big)].set(True, mode="drop")
     alive2 = _kill_heads(alive, st, doomed)
     return alive2, doomed.any()
+
+
+# ---------------------------------------------------------------------------
+# Walk-based tip/bubble passes (round-2 fast path).
+#
+# Tips and bubbles only ever act on chains of length <= tip_len/bubble_len
+# (~2k+1 nodes), yet the dense passes pay O(rounds) full-array gathers over
+# all 2C oriented nodes per pass — the measured e2e wall (~8-14 s/pass at
+# E. coli scale, PLAN.md). The number of CHAINS is tiny by comparison
+# (#unitigs ~ 1e4 on a filtered E. coli graph), so instead: compute degrees
+# and links once (vector ops + a few full gathers), compact the chain HEAD
+# ids to an M-slot buffer (Pallas stream compaction on TPU), walk forward
+# <= L steps on M-sized arrays recording the path, evaluate the identical
+# SEMANTICS §5 predicates on the compacted candidates, and kill doomed
+# chains with one scatter over the recorded paths. Exactly the dense
+# semantics (CI-enforced equivalence); ~20x less gather traffic. If heads
+# exceed M, the wrapper escalates M and finally falls back to the dense
+# pass, discarding the partial result (a truncated candidate set could
+# mis-pick a bubble group winner, so partial results are never used).
+# ---------------------------------------------------------------------------
+
+_WALK_M = (65536, 262144)  # candidate-buffer escalation ladder
+
+
+def _compact_ids(flags, M: int):
+    """Positions of set flags, compacted to an M-slot id buffer (in order).
+
+    Returns (ids[M] int32 — garbage beyond the real count, n (int32),
+    overflow). TPU uses the Pallas stream compactor; elsewhere a
+    cumsum+scatter fallback (CI runs on CPU)."""
+    n = flags.shape[0]
+    from genome_tpu.kernels.count import _on_tpu
+    if _on_tpu():
+        from genome_tpu.kernels.compact import CHUNK, TILE, compact_flagged
+        npad = -(-n // TILE) * TILE
+        f = flags if npad == n else jnp.concatenate(
+            [flags, jnp.zeros((npad - n,), jnp.bool_)])
+        cap = -(-M // CHUNK) * CHUNK + CHUNK
+        _, pos, total, _ = compact_flagged(f, (), cap)
+        return pos[:M], total, total > M
+    idx = jnp.arange(n, dtype=I32)
+    dest = jnp.cumsum(flags.astype(I32)) - 1
+    scat = jnp.where(flags & (dest < M), dest, M)
+    ids = jnp.zeros((M,), dtype=I32).at[scat].set(idx, mode="drop")
+    total = flags.sum(dtype=I32)
+    return ids, total, total > M
+
+
+def _walk_stats(next_u, counts, heads, n_heads, L: int, want_cov: bool):
+    """Walk <= L link steps forward from each head (vectorized over the M
+    compacted heads). Returns per-head chain stats + the visited path.
+
+    length saturates at L+1 (chains longer than L keep tail == -1 and a
+    length that still fails any `<= L` predicate — same contract as the
+    dense truncated doubling). Coverage uses the same 16-bit limb split as
+    _chain_state so bubble tie-breaks compare identically."""
+    M = heads.shape[0]
+    n2 = next_u.shape[0]
+    capacity = counts.shape[0]
+    real = jnp.arange(M, dtype=I32) < n_heads
+    cur = jnp.where(real, heads, 0)
+    path = [jnp.where(real, cur, -1)]
+    length = jnp.where(real, 1, 0).astype(I32)
+    covlo = covhi = None
+    if want_cov:
+        c0 = jnp.where(real, counts[jnp.clip(cur >> 1, 0, capacity - 1)], 0)
+        c0 = c0.astype(U32)
+        covlo = c0 & U32(0xFFFF)
+        covhi = c0 >> U32(16)
+    tail = jnp.full((M,), -1, dtype=I32)
+    done = ~real
+    for _ in range(L):
+        nxt = next_u[jnp.clip(cur, 0, n2 - 1)]
+        nx = jnp.where(done, -1, nxt)
+        hit = (~done) & (nx < 0)
+        tail = jnp.where(hit, cur, tail)
+        done = done | (nx < 0)
+        ext = nx >= 0
+        cur = jnp.where(ext, nx, cur)
+        path.append(jnp.where(ext, cur, -1))
+        if want_cov:
+            c = counts[jnp.clip(cur >> 1, 0, capacity - 1)].astype(U32)
+            covlo = covlo + jnp.where(ext, c & U32(0xFFFF), U32(0))
+            covhi = covhi + jnp.where(ext, c >> U32(16), U32(0))
+        length = length + ext.astype(I32)
+    # tail for chains of length exactly L (probe already consumed) is set;
+    # longer chains keep tail = -1 and length = L + 1 > any threshold
+    nxt = next_u[jnp.clip(cur, 0, n2 - 1)]
+    hit = (~done) & (jnp.where(done, -1, nxt) < 0)
+    tail = jnp.where(hit, cur, tail)
+    st = dict(real=real, length=length, tail=tail,
+              path=jnp.stack(path, axis=0))
+    if want_cov:
+        st["cov_hi"] = covhi + (covlo >> U32(16))
+        st["cov_lo"] = covlo & U32(0xFFFF)
+    return st
+
+
+def _kill_paths(alive, path, doomed_m):
+    """Kill every canonical node on a doomed head's recorded path."""
+    capacity = alive.shape[0]
+    kill = doomed_m[None, :] & (path >= 0)
+    canon = jnp.where(kill, path >> 1, capacity)
+    return alive.at[canon.reshape(-1)].set(False, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M"))
+def _clip_tips_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                    tip_len, L: int, M: int):
+    capacity = alive.shape[0]
+    n2 = 2 * capacity
+    alive_o = jnp.repeat(alive & valid_node, 2)
+    outdeg, usucc = _degrees(succ, alive_o)
+    next_u, prev_u = _links(outdeg, usucc)
+    is_head = alive_o & (prev_u < 0)
+    heads, n_heads, ovf = _compact_ids(is_head, M)
+    st = _walk_stats(next_u, counts, heads, n_heads, L, want_cov=False)
+    h = jnp.where(st["real"], heads, 0)
+    tail = st["tail"]
+    tailc = jnp.clip(tail, 0, n2 - 1)
+    cand = st["real"] & (st["length"] <= tip_len)
+    start_open = outdeg[h ^ 1] == 0
+    end_open = (tail >= 0) & (outdeg[tailc] == 0)
+    doomed = cand & (start_open != end_open)
+    alive2 = _kill_paths(alive, st["path"], doomed)
+    return alive2, doomed.any(), ovf
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M"))
+def _pop_bubbles_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                      bubble_len, L: int, M: int):
+    capacity = alive.shape[0]
+    n2 = 2 * capacity
+    alive_o = jnp.repeat(alive & valid_node, 2)
+    outdeg, usucc = _degrees(succ, alive_o)
+    next_u, prev_u = _links(outdeg, usucc)
+    is_head = alive_o & (prev_u < 0)
+    heads, n_heads, ovf = _compact_ids(is_head, M)
+    st = _walk_stats(next_u, counts, heads, n_heads, L, want_cov=True)
+    h = jnp.where(st["real"], heads, 0)
+    tail = st["tail"]
+    tailc = jnp.clip(tail, 0, n2 - 1)
+    indeg_head = outdeg[h ^ 1]
+    cand = (st["real"] & (st["length"] <= bubble_len) & (indeg_head == 1)
+            & (tail >= 0) & (outdeg[tailc] == 1))
+    p = jnp.where(cand, usucc[h ^ 1] ^ 1, 0)
+    s = jnp.where(cand, usucc[tailc], 0)
+
+    def okv(idx):
+        return okv_hi[idx], okv_lo[idx]
+
+    ph, pl = okv(p)
+    sh_, sl_ = okv(s)
+    rsh, rsl = okv(s ^ 1)
+    rph, rpl = okv(p ^ 1)
+    proc = u64.lt(ph, pl, rsh, rsl) | (u64.eq(ph, pl, rsh, rsl)
+                                       & u64.le(sh_, sl_, rph, rpl))
+    selfrc = p == (s ^ 1)
+    twin_hi = jnp.where(tail >= 0, okv_hi[tailc ^ 1], U32(0xFFFFFFFF))
+    twin_lo = jnp.where(tail >= 0, okv_lo[tailc ^ 1], U32(0xFFFFFFFF))
+    primary = u64.le(okv_hi[h], okv_lo[h], twin_hi, twin_lo)
+    keep = cand & proc & (~selfrc | primary)
+
+    big = jnp.int32(n2)
+    p_k = jnp.where(keep, p, big)
+    s_k = jnp.where(keep, s, big)
+    mids = jnp.arange(heads.shape[0], dtype=I32)
+    # identical key tuple + stable sort as the dense pass: candidates enter
+    # in ascending head-id order (compaction preserves stream order)
+    keys = (p_k, s_k, ~st["cov_hi"], ~st["cov_lo"], okv_hi[h], okv_lo[h])
+    sp, ss, _, _, _, _, si = jax.lax.sort(keys + (mids,), num_keys=6)
+    validm = sp < big
+    same_prev = jnp.concatenate([
+        jnp.zeros((1,), dtype=jnp.bool_),
+        (sp[1:] == sp[:-1]) & (ss[1:] == ss[:-1]),
+    ])
+    doomed_sorted = validm & same_prev
+    doomed = jnp.zeros(heads.shape[0], dtype=jnp.bool_).at[
+        jnp.where(doomed_sorted, si, heads.shape[0])].set(True, mode="drop")
+    alive2 = _kill_paths(alive, st["path"], doomed)
+    return alive2, doomed.any(), ovf
+
+
+def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
+                   max_len: int | None = None):
+    """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed).
+
+    Walk-based fast path when max_len is static; escalates the candidate
+    buffer and falls back to the dense pass on overflow."""
+    if max_len is None:
+        return clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                                    valid_node, tip_len, None)
+    for M in _WALK_M:
+        alive2, changed, ovf = _clip_tips_walk(
+            succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
+            L=int(max_len), M=M)
+        if not bool(ovf):
+            return alive2, changed
+    return clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                                valid_node, tip_len, max_len)
+
+
+def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                     bubble_len, max_len: int | None = None):
+    """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed).
+
+    Walk-based fast path when max_len is static; dense fallback on
+    candidate overflow (partial walk results are always discarded)."""
+    if max_len is None:
+        return pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                                      valid_node, bubble_len, None)
+    for M in _WALK_M:
+        alive2, changed, ovf = _pop_bubbles_walk(
+            succ, okv_hi, okv_lo, counts, alive, valid_node, bubble_len,
+            L=int(max_len), M=M)
+        if not bool(ovf):
+            return alive2, changed
+    return pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                                  valid_node, bubble_len, max_len)
 
 
 @jax.jit
