@@ -9,13 +9,24 @@ Each process reads the SAME input file and takes its own contiguous read
 shard (process_id-th of num_processes); process 0 writes the output.
 For the localhost fake-cluster CI pattern (SURVEY §4.5), run every
 process on one machine with JAX_PLATFORMS=cpu.
+
+Scaling bench (BASELINE.json:5 "reads/s efficiency at >= 2 hosts"): add
+`--bench --bench-out scaling.jsonl`. Each process then assembles twice
+(first run pays compile; the second is timed), and every process appends
+one JSON line: reads/s for its shard, aggregate reads/s, per-phase wall
+seconds. Run once with 1 host and once with N hosts; efficiency =
+reads_per_sec_total(N) / (N * reads_per_sec_total(1)). On one machine,
+`python scripts/scaling_bench.py` drives the whole table on a localhost
+fake cluster (plumbing proof; real numbers need real hosts).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+import time
 
 
 def main(argv=None) -> int:
@@ -29,6 +40,14 @@ def main(argv=None) -> int:
     p.add_argument("--min-coverage", type=int, default=2)
     p.add_argument("--cpu-devices", type=int, default=0,
                    help="force N virtual CPU devices (testing)")
+    p.add_argument("--bench", action="store_true",
+                   help="time a second (compile-warm) assembly and emit "
+                        "a reads/s JSON line per process")
+    p.add_argument("--bench-out", default="",
+                   help="append bench JSON lines here (default stderr)")
+    p.add_argument("--forbid-replicated", action="store_true",
+                   help="fail instead of falling back to the replicated "
+                        "simplify path (CI guard)")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
@@ -53,7 +72,41 @@ def main(argv=None) -> int:
         reads.extend(read_fastx(path))
     local = shard_reads(reads, args.num_processes)[args.process_id]
     params = AssemblyParams(k=args.k, min_coverage=args.min_coverage)
-    contigs = assemble_multihost(local, params)
+    contigs = assemble_multihost(
+        local, params, forbid_replicated=args.forbid_replicated)
+
+    if args.bench:
+        # second, compile-warm run is the measured one (same SPMD program;
+        # every process re-enters together so collectives stay matched)
+        from jax.experimental import multihost_utils
+        import jax.numpy as jnp
+        phases: dict = {}
+        multihost_utils.process_allgather(jnp.zeros((1,)))  # barrier
+        t0 = time.perf_counter()
+        contigs = assemble_multihost(
+            local, params, forbid_replicated=args.forbid_replicated,
+            phase_times=phases)
+        wall = time.perf_counter() - t0
+        n_total = int(multihost_utils.process_allgather(
+            jnp.asarray([len(local)])).sum())
+        rec = {
+            "metric": "reads_per_sec",
+            "process_id": args.process_id,
+            "num_processes": args.num_processes,
+            "local_reads": len(local),
+            "wall_s": round(wall, 3),
+            "reads_per_sec_local": round(len(local) / wall, 1),
+            "reads_per_sec_total": round(n_total / wall, 1),
+            "phases_s": {k2: round(v, 3) for k2, v in phases.items()},
+            "n_contigs": len(contigs),
+        }
+        line = json.dumps(rec)
+        if args.bench_out:
+            with open(args.bench_out, "a") as f:
+                f.write(line + "\n")
+        else:
+            print(line, file=sys.stderr)
+
     if args.process_id == 0:
         write_fasta(args.output, contigs)
         print(f"[genome_tpu.dist] wrote {len(contigs)} contigs to "

@@ -8,8 +8,14 @@ all_to_all collectives riding ICI within a host and DCN across hosts.
 
 Per-process flow (SPMD, every host runs the same program on its read
 shard):  local reads -> extract -> global sharded arrays
-         -> sharded count/build (collectives) -> process_allgather of the
-         surviving graph -> replicated simplify -> process 0 emits.
+         -> sharded count/build/simplify/final (collectives; no device
+         ever holds a global-graph-sized array) -> chain-state tuples
+         allgathered to HOST memory -> every process assembles the same
+         contig strings (process 0 writes them out).
+
+The replicated path (allgather the graph onto one device and simplify
+locally) survives only as the correctness escape when the sharded
+simplify's routing-capacity retry ladder is exhausted.
 
 Tested in CI with the localhost fake-cluster pattern (SURVEY §4.5): two
 processes, each with 4 virtual CPU devices.
@@ -35,9 +41,18 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
 
 
 def assemble_multihost(local_reads, params: AssemblyParams | None = None,
-                       local_capacity: int | None = None):
+                       local_capacity: int | None = None,
+                       forbid_replicated: bool = False,
+                       phase_times: dict | None = None):
     """SPMD entry: every process passes its own read shard; returns the
-    full contig list on every process (written out by process 0)."""
+    full contig list on every process (written out by process 0).
+
+    forbid_replicated: raise instead of taking the replicated-graph
+    correctness escape (CI asserts the sharded path is really taken).
+    phase_times: optional dict filled with per-phase wall seconds
+    (extract/count/build/simplify/final/emit) for the scaling bench.
+    """
+    import time as _time
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
@@ -51,14 +66,22 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
     from genome_tpu.kernels.extract import SENTINEL
 
     params = params or AssemblyParams()
+    pt = phase_times if phase_times is not None else {}
+    _t = _time.perf_counter
+
+    def _mark(name, t0):
+        pt[name] = pt.get(name, 0.0) + (_t() - t0)
+
     devs = jax.devices()  # global, all processes
     S = len(devs)
     mesh = Mesh(np.array(devs), ("shard",))
     n_local_dev = len(jax.local_devices())
 
     # local extraction (DP over this host's reads)
+    t0 = _t()
     hi, lo = extract_stream(local_reads, params.k)
     hi, lo = np.asarray(hi), np.asarray(lo)
+    _mark("extract", t0)
 
     # agree on the per-device stream length across processes
     m_dev_local = -(-max(hi.size, 1) // n_local_dev)
@@ -78,6 +101,7 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
     bucket_cap = max(64, int(1.3 * m_dev / S) + 64)
     local_cap = local_capacity or _pow2_at_least(max(64, m_dev))
     min_cov = jnp.asarray([params.min_coverage], jnp.uint32)
+    t0 = _t()
     while True:
         counter = make_sharded_count(mesh, "shard", bucket_cap, local_cap)
         th, tl, cnts, n_uni, ovf = counter(ghi, glo, min_cov)
@@ -85,8 +109,10 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
             break
         bucket_cap *= 2
         local_cap *= 2
+    _mark("count", t0)
 
     query_cap = max(64, int(1.3 * 8 * local_cap / S) + 64)
+    t0 = _t()
     while True:
         builder = make_sharded_build(mesh, "shard", params.k, local_cap,
                                      query_cap)
@@ -94,8 +120,59 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
         if not bool(multihost_utils.process_allgather(bovf, tiled=True).any()):
             break
         query_cap *= 2
+    _mark("build", t0)
 
-    # replicate the surviving graph on every process, simplify locally
+    # --- sharded simplify over the process-spanning mesh (the same
+    # remote-gather pointer-doubling passes as the single-process sharded
+    # path; flags are allgathered so every process branches identically)
+    from genome_tpu.dist.simplify import make_sharded_final, simplify_sharded
+
+    alive0 = jax.make_array_from_process_local_data(
+        sharding, np.ones((n_local_dev * local_cap,), dtype=bool))
+    t0 = _t()
+    alive_sh, ovf_s = simplify_sharded(mesh, "shard", local_cap, succ,
+                                       okv_hi, okv_lo, cnts, alive0, n_uni,
+                                       params)
+    _mark("simplify", t0)
+
+    if not ovf_s:
+        # --- sharded final chain state; emission tuples cross to HOST
+        # memory only (string assembly is host work; process 0 writes)
+        fovf = None
+        slack = 1.35
+        t0 = _t()
+        for _ in range(3):
+            final = make_sharded_final(mesh, "shard", local_cap, slack)
+            head, dist, primary, alive_o, fovf = final(
+                succ, okv_hi, okv_lo, cnts, alive_sh, n_uni)
+            if not bool(multihost_utils.process_allgather(
+                    fovf, tiled=True).any()):
+                fovf = None
+                break
+            slack *= 2.0
+        _mark("final", t0)
+        if fovf is None:
+            t0 = _t()
+            fs = dict(
+                head=multihost_utils.process_allgather(head, tiled=True),
+                dist=multihost_utils.process_allgather(dist, tiled=True),
+                primary=multihost_utils.process_allgather(primary, tiled=True),
+                alive_o=multihost_utils.process_allgather(alive_o, tiled=True),
+            )
+            okh_h = multihost_utils.process_allgather(okv_hi, tiled=True)
+            okl_h = multihost_utils.process_allgather(okv_lo, tiled=True)
+            contigs = emit_contigs(fs, okh_h, okl_h, params.k,
+                                   params.min_contig_len, node_primary=True)
+            _mark("emit", t0)
+            return contigs
+
+    if forbid_replicated:
+        raise RuntimeError(
+            "sharded simplify/final overflowed after all retries and the "
+            "replicated correctness escape is forbidden")
+
+    # correctness escape: replicate the surviving graph on every process,
+    # simplify locally (only reached when the retry ladders exhausted)
     succ_g = multihost_utils.process_allgather(succ, tiled=True)
     okv_hi_g = multihost_utils.process_allgather(okv_hi, tiled=True)
     okv_lo_g = multihost_utils.process_allgather(okv_lo, tiled=True)

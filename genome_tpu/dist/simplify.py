@@ -506,6 +506,16 @@ def make_sharded_final(mesh: Mesh, axis: str, local_capacity: int,
     return make_sharded_simplify(mesh, axis, local_capacity, slack)[2]
 
 
+def _fetch(x):
+    """Global array -> host numpy; multihost arrays need an allgather
+    (np.asarray on a non-fully-addressable array raises)."""
+    import numpy as np
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(x, tiled=True)
+
+
 def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
                      succ, okv_hi, okv_lo, counts, alive, n_loc, params,
                      max_slack_retries: int = 3):
@@ -518,8 +528,10 @@ def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
     from an overflowed attempt are always discarded.
 
     Returns (alive, overflowed: bool); overflowed only after all retries.
+    Works in multi-process (multihost) runs too: the changed/overflow
+    flags are fetched via process allgather, so every process takes the
+    same host control-flow decisions (deterministic SPMD).
     """
-    import numpy as np
     alive0 = alive
     tip_len = jnp.asarray([params.tip_len_eff], I32)
     bubble_len = jnp.asarray([params.bubble_len_eff], I32)
@@ -536,10 +548,10 @@ def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
                                  tip_len)
             alive, c2, o2 = bubbles(succ, okv_hi, okv_lo, counts, alive,
                                     n_loc, bubble_len)
-            if bool(np.asarray(o1).any()) or bool(np.asarray(o2).any()):
+            if bool(_fetch(o1).any()) or bool(_fetch(o2).any()):
                 overflowed = True
                 break
-            if not (bool(np.asarray(c1).any()) or bool(np.asarray(c2).any())):
+            if not (bool(_fetch(c1).any()) or bool(_fetch(c2).any())):
                 break
         if not overflowed:
             return alive, False

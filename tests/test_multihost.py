@@ -46,7 +46,7 @@ def test_two_process_localhost_assembly(tmp_path):
             [sys.executable, "-m", "genome_tpu.dist.launch", str(fq),
              "-o", str(out), "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(pid),
-             "--k", "15", "--cpu-devices", "4"],
+             "--k", "15", "--cpu-devices", "4", "--forbid-replicated"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (so, se) in zip(procs, outs):
