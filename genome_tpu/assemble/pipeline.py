@@ -21,7 +21,7 @@ import numpy as np
 from genome_tpu.assemble.checkpoint import PhaseCheckpointer
 from genome_tpu.assemble.metrics import Metrics
 from genome_tpu.graph.build import build_graph_device
-from genome_tpu.graph.contigs import emit_contigs
+from genome_tpu.graph.contigs import emit_contigs_device
 from genome_tpu.graph.simplify import (clip_tips_pass, final_chain_state,
                                        pop_bubbles_pass)
 from genome_tpu.kernels.count import count_kmers_device
@@ -298,8 +298,8 @@ def run_pipeline(reads, params: AssemblyParams,
             valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
             fs = final_chain_state(succ, okv_hi, okv_lo, counts, alive,
                                    valid_node)
-            contigs = emit_contigs(fs, okv_hi, okv_lo, params.k,
-                                   params.min_contig_len)
+            contigs = emit_contigs_device(fs, okv_hi, okv_lo, params.k,
+                                          params.min_contig_len)
             info["n_contigs"] = len(contigs)
             info["total_bp"] = sum(map(len, contigs))
     stats["n_contigs"] = len(contigs)

@@ -273,25 +273,10 @@ _WALK_M = (65536, 262144)  # candidate-buffer escalation ladder
 def _compact_ids(flags, M: int):
     """Positions of set flags, compacted to an M-slot id buffer (in order).
 
-    Returns (ids[M] int32 — garbage beyond the real count, n (int32),
-    overflow). TPU uses the Pallas stream compactor; elsewhere a
-    cumsum+scatter fallback (CI runs on CPU)."""
-    n = flags.shape[0]
-    from genome_tpu.kernels.count import _on_tpu
-    if _on_tpu():
-        from genome_tpu.kernels.compact import CHUNK, TILE, compact_flagged
-        npad = -(-n // TILE) * TILE
-        f = flags if npad == n else jnp.concatenate(
-            [flags, jnp.zeros((npad - n,), jnp.bool_)])
-        cap = -(-M // CHUNK) * CHUNK + CHUNK
-        _, pos, total, _ = compact_flagged(f, (), cap)
-        return pos[:M], total, total > M
-    idx = jnp.arange(n, dtype=I32)
-    dest = jnp.cumsum(flags.astype(I32)) - 1
-    scat = jnp.where(flags & (dest < M), dest, M)
-    ids = jnp.zeros((M,), dtype=I32).at[scat].set(idx, mode="drop")
-    total = flags.sum(dtype=I32)
-    return ids, total, total > M
+    Moved to kernels.compact.compact_ids (shared with device emission);
+    kept as an alias for the walk passes and existing tests."""
+    from genome_tpu.kernels.compact import compact_ids
+    return compact_ids(flags, M)
 
 
 def _walk_stats(next_u, counts, heads, n_heads, L: int, want_cov: bool):
@@ -467,16 +452,135 @@ def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
                                   valid_node, bubble_len, max_len)
 
 
+# ---------------------------------------------------------------------------
+# Ruler-based list ranking (round-3 fast path for final_chain_state).
+#
+# Full pointer doubling costs log2(n2) rounds of two full-size dependent
+# gathers — the measured 7 s wall of the final phase at E. coli scale.
+# Chains only need exact (head, dist) at EMISSION, and ranking a linked
+# list has a classical two-level decomposition: pick a ruler set (every
+# RULER_STRIDE-th oriented id — ids are sorted-k-mer ranks, so ruler
+# placement is hash-random along any chain), double each node's pointer
+# only until it lands on a ruler or a head (~log2(max ruler gap) ~ 9
+# rounds instead of 25, with a while_loop exiting as soon as every
+# pointer is frozen), then rank the ruler graph itself (n2/STRIDE-sized
+# arrays — cheap) and compose. Exact same (head, dist) as full doubling
+# on acyclic graphs; if any cycle survives to emission (circular
+# genomes), a lax.cond falls back to the dense cycle-breaking path.
+# ---------------------------------------------------------------------------
+
+RULER_STRIDE = 16  # power of two; gap tail ~ STRIDE * ln(n2)
+
+
+def _rank_rulers(next_u, prev_u):
+    """(head, dist, ok) via ruler ranking; ok=False iff a cycle was seen
+    (caller falls back to the dense path, which breaks cycles)."""
+    n2 = next_u.shape[0]
+    ids = jnp.arange(n2, dtype=I32)
+    rounds = max(1, (n2 - 1).bit_length() + 1)
+    mask = I32(RULER_STRIDE - 1)
+
+    p0 = jnp.where(prev_u >= 0, prev_u, ids)
+    d0 = jnp.where(prev_u >= 0, 1, 0).astype(I32)
+
+    # phase 1: double until every pointer rests on a ruler or a head.
+    # Heads are natural fixpoints (p[h] = h), so only rulers need the
+    # freeze test — one AND against the id bits, no extra gather.
+    def p1_cond(c):
+        _, _, i, changed = c
+        return (i < rounds) & changed
+
+    def p1_body(c):
+        p, d, i, _ = c
+        pg = p[p]
+        dg = d[p]
+        adv = (p & mask) != 0  # p not a ruler
+        p2 = jnp.where(adv, pg, p)
+        d2 = d + jnp.where(adv, dg, 0)
+        changed = (adv & (pg != p)).any()
+        return p2, d2, i + 1, changed
+
+    p, d, it, _ = jax.lax.while_loop(
+        p1_cond, p1_body, (p0, d0, jnp.int32(0), jnp.bool_(True)))
+    # non-convergence at the round bound => a ruler-free cycle exists
+    p1_ok = ~(((p & mask) != 0) & (p[p] != p)).any()
+
+    # phase 2: rank the ruler graph (arrays of n2/STRIDE)
+    rp0 = p[::RULER_STRIDE]
+    rd0 = d[::RULER_STRIDE]
+    r_rounds = max(1, (rp0.shape[0] - 1).bit_length() + 1)
+
+    def p2_cond(c):
+        _, _, i, changed = c
+        return (i < r_rounds) & changed
+
+    def p2_body(c):
+        rp, rd, i, _ = c
+        j = jnp.clip(rp // RULER_STRIDE, 0, rp.shape[0] - 1)
+        pg = rp[j]
+        dg = rd[j]
+        adv = (rp & mask) == 0  # target is a ruler -> keep jumping
+        rp2 = jnp.where(adv, pg, rp)
+        rd2 = rd + jnp.where(adv, dg, 0)
+        changed = (adv & (pg != rp)).any()
+        return rp2, rd2, i + 1, changed
+
+    rp, rd, _, _ = jax.lax.while_loop(
+        p2_cond, p2_body, (rp0, rd0, jnp.int32(0), jnp.bool_(True)))
+    # ruler-level cycle: some ruler still points at a ruler that moves
+    j = jnp.clip(rp // RULER_STRIDE, 0, rp.shape[0] - 1)
+    p2_ok = ~(((rp & mask) == 0) & (rp[j] != rp)).any()
+
+    # compose: a = nearest ruler-or-head ancestor of v
+    a = p
+    a_rul = (a & mask) == 0
+    aj = jnp.clip(a // RULER_STRIDE, 0, rp.shape[0] - 1)
+    head = jnp.where(a_rul, rp[aj], a)
+    dist = d + jnp.where(a_rul, rd[aj], 0)
+    # a composed head must be a true head; a cycle would leave prev >= 0
+    ok = p1_ok & p2_ok & ~(prev_u[jnp.clip(head, 0, n2 - 1)] >= 0).any()
+    return head, dist, ok
+
+
 @jax.jit
 def final_chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
-    """Chain state + primary mask for contig emission (SEMANTICS §6)."""
-    st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node)
+    """Chain state + primary mask for contig emission (SEMANTICS §6).
+
+    Fast path: ruler ranking + only the aggregates emission needs
+    (tail_of for the twin/primary pin — no length/coverage segment
+    reductions). Dense fallback (exact cycle breaking) via lax.cond when
+    any cycle survives simplification.
+    """
     n2 = succ.shape[0]
     ids = jnp.arange(n2, dtype=I32)
-    primary = st["is_head"] & u64.le(
-        okv_hi[ids], okv_lo[ids], st["twin_hi"], st["twin_lo"])
-    return dict(head=st["head"], dist=st["dist"], primary=primary,
-                alive_o=st["alive_o"])
+    alive_o = jnp.repeat(alive & valid_node, 2)
+    outdeg, usucc = _degrees(succ, alive_o)
+    next_u, prev_u = _links(outdeg, usucc)
+    head_r, dist_r, ok = _rank_rulers(next_u, prev_u)
+
+    def fast(_):
+        head = jnp.where(alive_o, head_r, -1)
+        dist = jnp.where(alive_o, dist_r, 0)
+        is_head = alive_o & (head == ids)
+        seg = jnp.where(alive_o, head, n2)
+        is_tail = alive_o & (next_u == -1)
+        tail_of = jnp.full(n2, -1, dtype=I32).at[
+            jnp.where(is_tail, seg, n2)].set(ids, mode="drop")
+        tail_c = jnp.clip(tail_of, 0, None)
+        twin_hi = jnp.where(tail_of >= 0, okv_hi[tail_c ^ 1], U32(0xFFFFFFFF))
+        twin_lo = jnp.where(tail_of >= 0, okv_lo[tail_c ^ 1], U32(0xFFFFFFFF))
+        primary = is_head & u64.le(okv_hi[ids], okv_lo[ids],
+                                   twin_hi, twin_lo)
+        return head, dist, primary
+
+    def dense(_):
+        st = _chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node)
+        primary = st["is_head"] & u64.le(
+            okv_hi[ids], okv_lo[ids], st["twin_hi"], st["twin_lo"])
+        return st["head"], st["dist"], primary
+
+    head, dist, primary = jax.lax.cond(ok, fast, dense, None)
+    return dict(head=head, dist=dist, primary=primary, alive_o=alive_o)
 
 
 def simplify_device(succ, okv_hi, okv_lo, counts, alive, valid_node, params):

@@ -238,3 +238,28 @@ def compact_flagged_auto(flags, arrays, capacity: int):
     on_tpu = jax.devices()[0].platform == "tpu"
     return compact_flagged(flags, tuple(arrays), capacity,
                            interpret=not on_tpu)
+
+
+def compact_ids(flags, M: int):
+    """Positions of set flags, compacted to an M-slot id buffer (in order).
+
+    Returns (ids[M] int32 — garbage beyond the real count, n (int32),
+    overflow). TPU uses the Pallas stream compactor; elsewhere a
+    cumsum+scatter fallback (CI runs on CPU). Shared by the walk-based
+    simplify passes and device-side contig emission.
+    """
+    n = flags.shape[0]
+    from genome_tpu.kernels.count import _on_tpu
+    if _on_tpu():
+        npad = -(-n // TILE) * TILE
+        f = flags if npad == n else jnp.concatenate(
+            [flags, jnp.zeros((npad - n,), jnp.bool_)])
+        cap = -(-M // CHUNK) * CHUNK + CHUNK
+        _, pos, total, _ = compact_flagged(f, (), cap)
+        return pos[:M], total, total > M
+    idx = jnp.arange(n, dtype=I32)
+    dest = jnp.cumsum(flags.astype(I32)) - 1
+    scat = jnp.where(flags & (dest < M), dest, M)
+    ids = jnp.zeros((M,), dtype=I32).at[scat].set(idx, mode="drop")
+    total = flags.sum(dtype=I32)
+    return ids, total, total > M
