@@ -1,16 +1,31 @@
 """Benchmark harness: headline k-mers/sec/chip for count+build
-(BASELINE.json:2). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(BASELINE.json:2). Prints ONE JSON line with:
 
-vs_baseline is measured throughput over the driver-set target of 80% of
-the HBM roofline for 6-pass radix counting (~96 B/k-mer; BASELINE.md) on
-the detected chip — the reference itself has no published numbers
-(BASELINE.json:13 `published: {}`).
+  value / vs_baseline   — throughput vs the driver-set 80%-of-HBM-radix
+                          target (~6.8 G/s on v5e). BENCH.md "roofline
+                          reality" shows that target assumes a vector
+                          scatter TPUs don't have; it is kept for
+                          comparability.
+  vs_sort_floor         — throughput vs the MEASURED speed-of-light for
+                          any sort/partition-based counter on this chip
+                          (~145 M k-mers/s at 88M windows on v5e: a
+                          bitonic network needs >= log^2(n)/2 compare
+                          stages at the measured 1.2-1.5 T elem-ops/s
+                          VPU rate; BENCH.md cycle-level post-mortem).
+  e2e_*                 — full reads->contigs wall via the production
+                          run_pipeline, decomposed per phase (count/
+                          build/simplify/contigs), on reads with a 0.2%
+                          error rate so simplification has real work.
+  parity_device_sha     — SHA256 of the e2e contig set.
+  parity_golden_sha     — same workload through the golden CPU oracle
+                          (cached in bench_golden_cache.json keyed by
+                          (reads, params-hash); recompute with
+                          BENCH_GOLDEN=1 — it only changes when
+                          SEMANTICS changes).
 
-Workload: simulated E. coli-scale read set (genome 4.6 Mbp, 100 bp reads,
-~24x coverage) generated as code matrices host-side; timed region is the
-device pipeline extract -> canonical -> sort -> segmented-reduce count ->
-successor build, excluding host IO. Scale with BENCH_SCALE (default 1.0).
+Workload: genome_tpu.io.benchdata (E. coli scale: 4.6 Mbp, 100 bp reads,
+24x). Timed headline region is extract -> canonical -> count -> build on
+pre-staged device codes. Scale with BENCH_SCALE (default 1.0).
 """
 
 import json
@@ -18,22 +33,23 @@ import os
 import sys
 import time
 
-import numpy as np
-
 # chip HBM bandwidth table (B/s); fallback is v5e-class
 _HBM = {
     "v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
     "v4": 1228e9, "v5p": 2765e9, "v6e": 1640e9, "v6 lite": 1640e9,
 }
 _RADIX_BYTES_PER_KMER = 96.0  # 6 passes x (8B read + 8B write), BASELINE.md
+# measured sort-based speed-of-light on v5e at 88M windows (BENCH.md
+# "roofline reality"); scales ~ with VPU rate, pinned per-chip below
+_SORT_FLOOR_KMERS_S = {"v5e": 145e6, "v5 lite": 145e6}
 
 
-def _detect_bw(device) -> float:
+def _detect(table, device, default):
     kind = getattr(device, "device_kind", "").lower()
-    for key, bw in _HBM.items():
+    for key, v in table.items():
         if key in kind:
-            return bw
-    return 819e9
+            return v
+    return default
 
 
 def main() -> int:
@@ -46,31 +62,19 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     from genome_tpu.graph.build import build_graph_device
+    from genome_tpu.io.benchdata import (bench_workload, codes_to_reads,
+                                         contigs_sha, workload_key)
     from genome_tpu.kernels.count import count_kmers_device
     from genome_tpu.kernels.extract import extract_canonical_kmers
+    from genome_tpu.params import AssemblyParams
 
     dev = jax.devices()[0]
-    bw = _detect_bw(dev)
+    bw = _detect(_HBM, dev, 819e9)
+    floor = _detect(_SORT_FLOOR_KMERS_S, dev, 145e6)
 
-    k = 21
-    genome_len = int(4_600_000 * scale)
-    read_len = 100
-    num_reads = int(genome_len * 24 / read_len)
-    # batch only sets read-count padding granularity (single dispatch):
-    # 1<<17 padded 75k phantom reads = 6M sentinel windows through the
-    # sort (6.4% of the stream) at E. coli scale
-    batch = 4096
+    w = bench_workload(scale)
+    k, capacity = w["k"], w["capacity"]
 
-    rng = np.random.default_rng(0)
-    genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
-    starts = rng.integers(0, genome_len - read_len + 1, size=num_reads)
-    capacity = 1 << max(13, int(np.ceil(np.log2(genome_len * 1.5))))
-    num_padded = ((num_reads + batch - 1) // batch) * batch
-    all_codes = np.full((num_padded, read_len), 4, dtype=np.uint8)
-    all_codes[:num_reads] = genome[starts[:, None] + np.arange(read_len)[None, :]]
-
-    # measured on TPU v5 lite @22M: sort 48 M/s, bucket 11 M/s, hashtable
-    # 0.6 M/s (BENCH.md) — global sort is the current fastest counting path
     strategy = os.environ.get("BENCH_COUNTER", "sort")
 
     @jax.jit
@@ -94,15 +98,14 @@ def main() -> int:
         # block_until_ready resolves without materializing (axon relay)
         return succ.sum()
 
-    codes_dev = jnp.asarray(all_codes)  # staged once; timed region is compute
+    codes_dev = jnp.asarray(w["clean"])  # staged once; timed region is compute
 
     def run():
         th, tl, n_uni, ovf = count(codes_dev)
         n = int(n_uni)  # host sync; then compact the table before build
         # 1/64 rounding granularity: the build join sorts 4*cap2 records,
-        # so slack here is the single biggest build cost knob (a 1/8 step
-        # padded up to 19% at E. coli scale). Recompiles when n_unique
-        # crosses a step boundary; the persistent cache absorbs it.
+        # so slack here is the single biggest build cost knob. Recompiles
+        # when n_unique crosses a step; the persistent cache absorbs it.
         step = max(256, 1 << max(0, n.bit_length() - 6))
         cap2 = min(capacity, -(-n // step) * step)
         chk = build(th[:cap2], tl[:cap2], n_uni)
@@ -121,75 +124,68 @@ def main() -> int:
                           "error": "capacity overflow"}))
         return 1
 
-    n_windows = num_reads * (read_len - k + 1)  # real windows only
+    n_windows = w["n_windows"]  # real windows only
     value = n_windows / dt
     target = 0.8 * bw / _RADIX_BYTES_PER_KMER
 
-    # ---- e2e reads -> contigs wall (count+build+simplify+emit), on reads
-    # with a 0.2% substitution error rate so simplification has real work.
-    # Reported inside the same single JSON line as extra keys.
-    codes_err = all_codes.copy()
-    err = rng.random((num_reads, read_len)) < 0.002
-    nerr = int(err.sum())
-    codes_err[:num_reads][err] = (
-        (all_codes[:num_reads][err] + rng.integers(1, 4, nerr, dtype=np.uint8))
-        % 4)
-    from genome_tpu.graph.build import build_graph_device as _bgd
-    from genome_tpu.graph.contigs import emit_contigs
-    from genome_tpu.graph.simplify import (clip_tips_pass, final_chain_state,
-                                           pop_bubbles_pass)
-    from genome_tpu.params import AssemblyParams
+    # ---- e2e reads -> contigs through the production pipeline (metrics
+    # give the per-phase decomposition; no drift vs the CLI path).
+    from genome_tpu.assemble.metrics import Metrics
+    from genome_tpu.assemble.pipeline import run_pipeline
 
     params = AssemblyParams(k=k, min_coverage=2)
-
-    @jax.jit
-    def count_full(codes):
-        his, los = extract_canonical_kmers(codes, k)
-        r = count_kmers_device(his, los, 2, capacity)
-        return (r["table_hi"], r["table_lo"], r["counts"], r["n_unique"],
-                r["overflow"])
-
-    build_jit = jax.jit(lambda a, b, m: _bgd(a, b, m, k))
-
-    def e2e():
-        th, tl, cnts, n_uni, _ = count_full(jnp.asarray(codes_err))
-        n = int(n_uni)
-        step = max(256, 1 << max(0, n.bit_length() - 6))
-        cap2 = min(capacity, -(-n // step) * step)
-        th, tl, cnts = th[:cap2], tl[:cap2], cnts[:cap2]
-        succ, okh, okl = build_jit(th, tl, n_uni)
-        alive = jnp.ones((cap2,), dtype=jnp.bool_)
-        valid = jnp.arange(cap2, dtype=jnp.int32) < n_uni
-        tip_len = jnp.int32(params.tip_len_eff)
-        bub_len = jnp.int32(params.bubble_len_eff)
-        for _ in range(params.max_rounds):
-            alive, c1 = clip_tips_pass(succ, okh, okl, cnts, alive, valid,
-                                       tip_len, max_len=params.tip_len_eff)
-            alive, c2 = pop_bubbles_pass(succ, okh, okl, cnts, alive, valid,
-                                         bub_len,
-                                         max_len=params.bubble_len_eff)
-            if not (bool(c1) or bool(c2)):
-                break
-        fs = final_chain_state(succ, okh, okl, cnts, alive, valid)
-        return emit_contigs(fs, okh, okl, k, params.min_contig_len)
-
-    contigs = e2e()  # warmup/compile
+    run_pipeline(w["err"], params, capacity=capacity,
+                 metrics=Metrics(quiet=True))  # warmup: compile everything
+    m = Metrics(quiet=True)
     t0 = time.perf_counter()
-    contigs = e2e()
+    res = run_pipeline(w["err"], params, capacity=capacity, metrics=m)
     e2e_dt = time.perf_counter() - t0
+    contigs = res["contigs"]
+    phases = {e["phase"]: e["wall_s"] for e in m.events
+              if e["event"] == "phase_end"}
 
-    print(json.dumps({
+    dev_sha = contigs_sha(contigs)
+
+    # ---- golden-parity artifact (BASELINE.json:10): cached golden digest
+    golden_sha = None
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_golden_cache.json")
+    key = workload_key(w, params.params_hash())
+    cache = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+    if key in cache:
+        golden_sha = cache[key]
+    elif os.environ.get("BENCH_GOLDEN") == "1":
+        from genome_tpu.golden import assemble_golden
+        reads = codes_to_reads(w["err"], w["num_reads"])
+        golden_sha = contigs_sha(assemble_golden(reads, params))
+        cache[key] = golden_sha
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+
+    out = {
         "metric": "kmers_per_sec_per_chip_count_build",
         "value": round(value),
         "unit": "kmers/s",
         "vs_baseline": round(value / target, 4),
+        "vs_sort_floor": round(value / floor, 4),
         "e2e_wall_s": round(e2e_dt, 3),
+        "e2e_count_s": phases.get("count"),
+        "e2e_build_s": phases.get("build"),
+        "e2e_simplify_s": phases.get("simplify"),
+        "e2e_contigs_s": phases.get("contigs"),
         "e2e_contigs": len(contigs),
         "e2e_bp": sum(map(len, contigs)),
-    }))
+        "parity_device_sha": dev_sha,
+        "parity_golden_sha": golden_sha,
+        "parity_ok": (None if golden_sha is None else golden_sha == dev_sha),
+    }
+    print(json.dumps(out))
     print(f"# device={dev.device_kind} windows={n_windows} "
-          f"unique={n_uni} wall_s={dt:.3f} hbm_target={target:.3e}",
-          file=sys.stderr)
+          f"unique={n_uni} wall_s={dt:.3f} hbm_target={target:.3e} "
+          f"sort_floor={floor:.3e}", file=sys.stderr)
     return 0
 
 

@@ -43,14 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream counting in chunks of this many windows "
                         "(bounds device memory; default: one shot)")
     p.add_argument("--counter",
-                   choices=["sort", "partition", "bucket", "hashtable"],
+                   choices=["sort", "bucket", "hashtable"],
                    default="sort",
                    help="counting kernel: global sort+segmented-reduce "
-                        "(default), Pallas partition counter (TPU fast "
-                        "path), bucket-partition sort, or batched "
-                        "open-addressing HBM hash table (parity oracle; "
-                        "~0.6 M k-mers/s — 100x slower than sort, unusable "
-                        "beyond toy inputs)")
+                        "(default and fastest — a Pallas partition counter "
+                        "was measured break-even at best, BENCH.md), "
+                        "bucket-partition sort, or batched open-addressing "
+                        "HBM hash table (parity oracle; ~0.6 M k-mers/s — "
+                        "100x slower than sort, unusable beyond toy inputs)")
     p.add_argument("--backend", choices=["device", "golden"], default="device",
                    help="device = JAX/TPU pipeline, golden = NumPy reference")
     p.add_argument("--io", choices=["native", "python"], default="native",
@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.counter == "hashtable" and total_bp > 5_000_000:
         print("warning: --counter hashtable is a parity oracle "
               "(~0.6 M k-mers/s); expect ~{:.0f} min for this input. "
-              "Use --counter sort or partition.".format(
+              "Use --counter sort.".format(
                   total_bp / 0.6e6 / 60), file=sys.stderr)
 
     if args.resume and not args.checkpoint_dir:

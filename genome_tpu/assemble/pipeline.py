@@ -49,7 +49,10 @@ def extract_stream(reads, k: int, batch_reads: int = 65536,
         z = jnp.zeros((0,), dtype=jnp.uint32)
         return z, z
     L = read_len or max(len(r) for r in reads)
-    L = ((L + 63) // 64) * 64  # bucket read length: fewer compiled shapes
+    # bucket read length at granularity 8: bounded compiled shapes, and only
+    # ~L/8 padding columns of sentinel windows riding the count sort (the
+    # old granularity 64 inflated a 100 bp stream by 35%)
+    L = ((L + 7) // 8) * 8
 
     def _pack(i):
         chunk = reads[i : i + batch_reads]
@@ -86,7 +89,7 @@ def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int):
     if r == 0 or codes.shape[1] < k:
         z = jnp.zeros((0,), dtype=jnp.uint32)
         return z, z
-    L = ((codes.shape[1] + 63) // 64) * 64
+    L = ((codes.shape[1] + 7) // 8) * 8
     his, los = [], []
     for i in range(0, r, batch_reads):
         chunk = codes[i : i + batch_reads]

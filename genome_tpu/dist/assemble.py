@@ -142,12 +142,21 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
                 metrics.log("dist_final_overflow_retry", slack=slack)
             info["overflow"] = bool(np.asarray(fovf).any())
         if not bool(np.asarray(fovf).any()):
+            # sharded emission: blocks routed by hash(head, dist//B); no
+            # device or host buffer ever holds the global chain state
+            from genome_tpu.dist.emit import emit_contigs_sharded
             with metrics.phase("dist_contigs") as info:
-                contigs = emit_contigs(
-                    dict(head=head, dist=dist, primary=primary,
-                         alive_o=alive_o),
-                    okv_hi, okv_lo, params.k, params.min_contig_len,
-                    node_primary=True)
+                contigs, ok = emit_contigs_sharded(
+                    mesh, "shard", local_cap, head, dist, primary,
+                    alive_o, okv_hi, okv_lo, params.k,
+                    params.min_contig_len)
+                if not ok:
+                    metrics.log("dist_emit_overflow_fallback")
+                    contigs = emit_contigs(
+                        dict(head=head, dist=dist, primary=primary,
+                             alive_o=alive_o),
+                        okv_hi, okv_lo, params.k, params.min_contig_len,
+                        node_primary=True)
                 info["n_contigs"] = len(contigs)
             return contigs
         metrics.log("dist_final_overflow_fallback")

@@ -29,6 +29,39 @@ import sys
 import time
 
 
+def _load_local_shard(paths, pid: int, num_processes: int):
+    """Decode only this process's contiguous record shard (uint8 codes).
+
+    Same split as dist.assemble.shard_reads (per = ceil(total/P), shard
+    i = records [i*per, (i+1)*per)), but each process range-reads its
+    slice via the native parser's record index instead of parsing the
+    whole input and keeping 1/P of it — ingest cost stays ~flat in P.
+    """
+    import numpy as np
+    from genome_tpu.io.native import count_fastx_records, parse_fastx_codes
+
+    counts = [count_fastx_records(p) for p in paths]
+    total = sum(counts)
+    per = (total + num_processes - 1) // num_processes
+    lo, hi = pid * per, min(total, (pid + 1) * per)
+    mats = []
+    base = 0
+    for p, c in zip(paths, counts):
+        a, b = max(lo - base, 0), min(hi - base, c)
+        if b > a:
+            mats.append(parse_fastx_codes(p, record_range=(a, b)))
+        base += c
+    if not mats:
+        return np.zeros((0, 1), dtype=np.uint8)
+    L = max(m.shape[1] for m in mats)
+    out = np.full((sum(m.shape[0] for m in mats), L), 4, dtype=np.uint8)
+    at = 0
+    for m in mats:
+        out[at : at + m.shape[0], : m.shape[1]] = m
+        at += m.shape[0]
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="genome_tpu.dist.launch")
     p.add_argument("reads", nargs="+")
@@ -63,14 +96,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     initialize(args.coordinator, args.num_processes, args.process_id)
 
-    from genome_tpu.dist.assemble import shard_reads
-    from genome_tpu.io import read_fastx, write_fasta
+    from genome_tpu.io import write_fasta
     from genome_tpu.params import AssemblyParams
 
-    reads = []
-    for path in args.reads:
-        reads.extend(read_fastx(path))
-    local = shard_reads(reads, args.num_processes)[args.process_id]
+    t_ing = time.perf_counter()
+    local = _load_local_shard(args.reads, args.process_id,
+                              args.num_processes)
+    ingest_s = time.perf_counter() - t_ing
     params = AssemblyParams(k=args.k, min_coverage=args.min_coverage)
     contigs = assemble_multihost(
         local, params, forbid_replicated=args.forbid_replicated)
@@ -95,6 +127,7 @@ def main(argv=None) -> int:
             "num_processes": args.num_processes,
             "local_reads": len(local),
             "wall_s": round(wall, 3),
+            "ingest_s": round(ingest_s, 3),
             "reads_per_sec_local": round(len(local) / wall, 1),
             "reads_per_sec_total": round(n_total / wall, 1),
             "phases_s": {k2: round(v, 3) for k2, v in phases.items()},

@@ -152,17 +152,27 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
             slack *= 2.0
         _mark("final", t0)
         if fovf is None:
+            # sharded emission: blocks routed by hash(head, dist//B);
+            # only packed bases + per-block records reach host memory
+            from genome_tpu.dist.emit import emit_contigs_sharded
             t0 = _t()
-            fs = dict(
-                head=multihost_utils.process_allgather(head, tiled=True),
-                dist=multihost_utils.process_allgather(dist, tiled=True),
-                primary=multihost_utils.process_allgather(primary, tiled=True),
-                alive_o=multihost_utils.process_allgather(alive_o, tiled=True),
-            )
-            okh_h = multihost_utils.process_allgather(okv_hi, tiled=True)
-            okl_h = multihost_utils.process_allgather(okv_lo, tiled=True)
-            contigs = emit_contigs(fs, okh_h, okl_h, params.k,
-                                   params.min_contig_len, node_primary=True)
+            contigs, ok = emit_contigs_sharded(
+                mesh, "shard", local_cap, head, dist, primary, alive_o,
+                okv_hi, okv_lo, params.k, params.min_contig_len)
+            if not ok:
+                fs = dict(
+                    head=multihost_utils.process_allgather(head, tiled=True),
+                    dist=multihost_utils.process_allgather(dist, tiled=True),
+                    primary=multihost_utils.process_allgather(primary,
+                                                              tiled=True),
+                    alive_o=multihost_utils.process_allgather(alive_o,
+                                                              tiled=True),
+                )
+                okh_h = multihost_utils.process_allgather(okv_hi, tiled=True)
+                okl_h = multihost_utils.process_allgather(okv_lo, tiled=True)
+                contigs = emit_contigs(fs, okh_h, okl_h, params.k,
+                                       params.min_contig_len,
+                                       node_primary=True)
             _mark("emit", t0)
             return contigs
 

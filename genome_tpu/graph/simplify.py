@@ -415,15 +415,16 @@ def _pop_bubbles_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
 
 
 def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
-                   max_len: int | None = None):
+                   max_len: int | None = None, walk_m=_WALK_M):
     """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed).
 
     Walk-based fast path when max_len is static; escalates the candidate
-    buffer and falls back to the dense pass on overflow."""
+    buffer through the `walk_m` ladder and falls back to the dense pass
+    on overflow (walk_m is overridable so CI can force every rung)."""
     if max_len is None:
         return clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
                                     valid_node, tip_len, None)
-    for M in _WALK_M:
+    for M in walk_m:
         alive2, changed, ovf = _clip_tips_walk(
             succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
             L=int(max_len), M=M)
@@ -434,15 +435,16 @@ def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
 
 
 def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                     bubble_len, max_len: int | None = None):
+                     bubble_len, max_len: int | None = None, walk_m=_WALK_M):
     """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed).
 
     Walk-based fast path when max_len is static; dense fallback on
-    candidate overflow (partial walk results are always discarded)."""
+    candidate overflow (partial walk results are always discarded).
+    walk_m: candidate-buffer ladder, overridable for CI."""
     if max_len is None:
         return pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
                                       valid_node, bubble_len, None)
-    for M in _WALK_M:
+    for M in walk_m:
         alive2, changed, ovf = _pop_bubbles_walk(
             succ, okv_hi, okv_lo, counts, alive, valid_node, bubble_len,
             L=int(max_len), M=M)

@@ -133,19 +133,48 @@ def _parse_python(data: bytes, length: int | None) -> np.ndarray:
     return pack_reads(seqs, length)
 
 
+def count_fastx_records(path: str) -> int:
+    """Record count of a FASTA/FASTQ file (native scan when available)."""
+    buf, n = _map_file(path)
+    lib = _load()
+    if lib is None:
+        data = bytes(buf) if not isinstance(buf, bytes) else buf
+        return _parse_python(data, None).shape[0]
+    nrec = ctypes.c_int64()
+    maxlen = ctypes.c_int64()
+    rc = lib.gt_scan(_as_cptr(buf), n, ctypes.byref(nrec),
+                     ctypes.byref(maxlen))
+    if rc < 0:
+        raise ValueError(f"{path}: {_ERRORS.get(rc, f'parse error {rc}')}")
+    return int(nrec.value)
+
+
 def parse_fastx_codes(path: str, length: int | None = None,
-                      threads: int | None = None) -> np.ndarray:
+                      threads: int | None = None,
+                      record_range: tuple[int, int] | None = None
+                      ) -> np.ndarray:
     """FASTA/FASTQ file -> uint8 code matrix [records, L] (pad/invalid=4).
 
     Uses the C++ parser when available (mmap'd input, record-boundary
     index, multi-threaded decode); Python fallback otherwise. `length`
-    pins L (longer sequences truncated); default = max record length.
+    pins L (longer sequences truncated); default = max record length
+    over the WHOLE file (so range reads from different processes agree).
+
+    record_range: half-open [lo, hi) record slice — only those records
+    are decoded and returned (multi-host shard ingest: each process
+    decodes 1/P of the file instead of parsing everything and keeping
+    1/P). The boundary scan still touches the whole file (sequential,
+    ~GB/s); the decode + matrix are range-sized.
     """
     buf, n = _map_file(path)
     lib = _load()
     if lib is None:
         data = bytes(buf) if not isinstance(buf, bytes) else buf
-        return _parse_python(data, length)
+        full = _parse_python(data, length)
+        if record_range is not None:
+            lo, hi = record_range
+            return full[max(0, lo) : max(0, hi)]
+        return full
     cbuf = _as_cptr(buf)
     nrec = ctypes.c_int64()
     maxlen = ctypes.c_int64()
@@ -154,8 +183,12 @@ def parse_fastx_codes(path: str, length: int | None = None,
         raise ValueError(f"{path}: {_ERRORS.get(rc, f'parse error {rc}')}")
     rows = nrec.value
     L = length if length is not None else int(maxlen.value)
-    out = np.empty((rows, max(L, 1)), dtype=np.int8)
-    if rows:
+    lo, hi = 0, rows
+    if record_range is not None:
+        lo = min(max(0, record_range[0]), rows)
+        hi = min(max(lo, record_range[1]), rows)
+    out = np.empty((hi - lo, max(L, 1)), dtype=np.int8)
+    if hi > lo:
         offsets = np.empty((rows,), dtype=np.int64)
         got = lib.gt_index(cbuf, n, offsets.ctypes.data_as(ctypes.c_void_p),
                            rows)
@@ -163,8 +196,9 @@ def parse_fastx_codes(path: str, length: int | None = None,
             raise ValueError(f"{path}: {_ERRORS.get(got, f'parse error {got}')}")
         assert got == rows, "scan/index record count mismatch"
         nt = threads or min(8, os.cpu_count() or 1)
+        sub = np.ascontiguousarray(offsets[lo:hi])
         got = lib.gt_parse_mt(cbuf, n,
-                              offsets.ctypes.data_as(ctypes.c_void_p), rows,
+                              sub.ctypes.data_as(ctypes.c_void_p), hi - lo,
                               out.ctypes.data_as(ctypes.c_void_p),
                               out.shape[1], nt)
         if got < 0:

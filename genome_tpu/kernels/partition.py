@@ -11,11 +11,14 @@ The HBM cursor of every bucket only ever advances in 1024-element chunks,
 so all DMAs stay (8,128)-tile aligned; the sub-chunk remainder of each
 bucket rides in its VMEM carry slot across the sequential grid.
 
-Counting use (count_partition.py): bucket = low 10 bits of the canonical
-k-mer (uniform even though canonical-min skews the HIGH bits 2x — measured
-in BENCH.md), remainder key = kmer >> 10, which fits ONE uint32 for any
-k <= 21 — per-bucket sorts then run on a single word instead of the
-global sort's (hi, lo) pair.
+Status: PARKED off the production path. The assembled partition counter
+(row-sort by bucket -> this mover -> per-bucket single-word sorts -> RLE)
+was measured BREAK-EVEN at best against the global 2-key lax.sort
+(BENCH.md "Partition counter: measured post-mortem": phase A + mover +
+phase C + boundary overhead ~ 440-520 ms vs 471 ms at 88M windows), so
+the sort counter remains the default and only advertised fast path. The
+kernel stays correctness-tested (tests/test_partition.py, interpret +
+real-Mosaic lanes) as the general B-way partition primitive.
 
 Grid is sequential over rows; per-bucket write cursors are *stateless*:
 row r's cursor for bucket b is derived from the precomputed exclusive

@@ -1,0 +1,80 @@
+"""Sharded contig emission (dist/emit.py): parity with the replicated
+emitter for P in {2,4,8}, proof the sharded path is actually taken (the
+replicated fallback is made unreachable), and the O(global/S) buffer
+guarantee."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from genome_tpu.dist.emit import BLOCK, emit_contigs_sharded, make_sharded_emit
+from genome_tpu.golden import assemble_golden
+from genome_tpu.io import random_genome, simulate_reads
+from genome_tpu.params import AssemblyParams
+
+
+def _reads(seed=3, glen=2000, err=0.01):
+    return simulate_reads(random_genome(glen, seed=seed), read_len=80,
+                          coverage=20, error_rate=err, seed=seed + 1)
+
+
+@pytest.mark.parametrize("num_shards", [2, 4, 8])
+def test_sharded_emit_taken_and_matches_golden(num_shards, monkeypatch):
+    import genome_tpu.dist.assemble as da
+
+    def _boom(*a, **kw):
+        raise AssertionError("replicated emit_contigs fallback was taken")
+
+    monkeypatch.setattr(da, "emit_contigs", _boom)
+    reads = _reads()
+    params = AssemblyParams(k=15, min_coverage=2)
+    got = da.assemble_sharded(reads, params, num_shards=num_shards)
+    assert got == assemble_golden(reads, params)
+
+
+def test_sharded_emit_buffers_are_local_sized():
+    """Per-shard emission outputs scale as O(global/S), not O(global)."""
+    from genome_tpu.dist.assemble import _default_mesh
+    S = 4
+    mesh = _default_mesh(S)
+    local_cap = 4096
+    cl2 = 2 * local_cap
+    ecap = max(64, int(1.35 * (cl2 // 2) / S) + 64)
+    block_cap = max(64, S * ecap // BLOCK + 4096)
+    emit = make_sharded_emit(mesh, "shard", local_cap, ecap, block_cap,
+                             block_cap)
+    shapes = jax.eval_shape(
+        emit,
+        jax.ShapeDtypeStruct((S * cl2,), jnp.int32),
+        jax.ShapeDtypeStruct((S * cl2,), jnp.int32),
+        jax.ShapeDtypeStruct((S * cl2,), jnp.bool_),
+        jax.ShapeDtypeStruct((S * cl2,), jnp.bool_),
+        jax.ShapeDtypeStruct((S * cl2,), jnp.uint32),
+        jax.ShapeDtypeStruct((S * cl2,), jnp.uint32))
+    # every per-shard output is O(global/S) + a constant slack term —
+    # nothing is O(global): ecap ~ 1.35*(cl2/2)/S routing slots, blocks
+    # carry a fixed 4096-block cushion (dominates only at toy scale)
+    expected = {
+        S * ecap,                      # routed record buffers
+        S * block_cap,                 # per-block metadata
+        S * block_cap * (BLOCK // 16), # packed base words
+        S,                             # counters / flags
+    }
+    for s in shapes:
+        assert s.shape[0] in expected, s
+    # the data-dependent part shrinks with S: per-shard routed records
+    assert ecap <= 1.35 * (cl2 / 2) / S + 65
+    assert block_cap <= (S * ecap) // BLOCK + 4096
+
+
+def test_sharded_emit_circular_fallback_ok():
+    """Circular genome: cycles survive to emission; contigs still match."""
+    g = random_genome(600, seed=9)
+    reads = simulate_reads(g, read_len=60, coverage=25, error_rate=0.0,
+                           circular=True, seed=10)
+    params = AssemblyParams(k=13, min_coverage=1)
+    from genome_tpu.dist.assemble import assemble_sharded
+    got = assemble_sharded(reads, params, num_shards=4)
+    assert got == assemble_golden(reads, params)

@@ -1,0 +1,99 @@
+"""Walk-pass candidate-buffer ladder: force every rung (tiny M -> bigger
+M -> dense fallback) and assert each produces the dense passes' exact
+result. This makes the escalation branches and the dense passes —
+otherwise dead-until-overflow in CI — load-bearing tested code."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from genome_tpu.golden.assembler import count_canonical_kmers
+from genome_tpu.graph.build import build_graph_device
+from genome_tpu.graph.simplify import (clip_tips_pass, clip_tips_pass_dense,
+                                       pop_bubbles_pass,
+                                       pop_bubbles_pass_dense)
+from genome_tpu.io import random_genome, simulate_reads
+from genome_tpu.kernels import u64
+from genome_tpu.params import AssemblyParams
+
+
+def _graph(seed=17, glen=1500, err=0.02, k=13):
+    """Error-heavy fixture: plenty of tips AND bubbles, many chain heads."""
+    reads = simulate_reads(random_genome(glen, seed=seed), read_len=80,
+                           coverage=25, error_rate=err, seed=seed + 1)
+    params = AssemblyParams(k=k, min_coverage=2)
+    kmers, counts = count_canonical_kmers(reads, k, params.min_coverage)
+    cap = kmers.size + (-kmers.size) % 8
+    th = np.zeros(cap, np.uint32)
+    tl = np.zeros(cap, np.uint32)
+    th[: kmers.size], tl[: kmers.size] = u64.from_u64_np(kmers)
+    cnt = np.zeros(cap, np.uint32)
+    cnt[: kmers.size] = counts
+    succ, okh, okl = build_graph_device(
+        jnp.asarray(th), jnp.asarray(tl), jnp.int32(kmers.size), k)
+    valid = jnp.arange(cap, dtype=jnp.int32) < kmers.size
+    alive = jnp.ones((cap,), jnp.bool_)
+    return succ, okh, okl, jnp.asarray(cnt), alive, valid, params
+
+
+def _n_heads(succ, alive, valid):
+    from genome_tpu.graph.simplify import _degrees, _links
+    alive_o = jnp.repeat(alive & valid, 2)
+    outdeg, usucc = _degrees(succ, alive_o)
+    _, prev_u = _links(outdeg, usucc)
+    return int((alive_o & (prev_u < 0)).sum())
+
+
+def test_ladder_every_rung_matches_dense():
+    succ, okh, okl, cnt, alive, valid, params = _graph()
+    tip_len = jnp.int32(params.tip_len_eff)
+    bub_len = jnp.int32(params.bubble_len_eff)
+    nh = _n_heads(succ, alive, valid)
+    assert nh > 8, "fixture must have many chain heads"
+    small = 1 << max(1, (nh // 4).bit_length() - 1)  # overflows
+    big = 1 << nh.bit_length()                       # fits
+
+    ad, cd = clip_tips_pass_dense(succ, okh, okl, cnt, alive, valid,
+                                  tip_len, max_len=params.tip_len_eff)
+    for ladder in [(big,),               # first rung fits
+                   (small, big),         # rung 1 overflows -> rung 2
+                   (small,),             # all rungs overflow -> dense
+                   (small, small)]:      # both rungs overflow -> dense
+        a, c = clip_tips_pass(succ, okh, okl, cnt, alive, valid, tip_len,
+                              max_len=params.tip_len_eff, walk_m=ladder)
+        assert bool(c) == bool(cd), ladder
+        assert np.array_equal(np.asarray(a), np.asarray(ad)), ladder
+
+    # bubbles on the post-tip graph (more candidate variety)
+    bd, cbd = pop_bubbles_pass_dense(succ, okh, okl, cnt, ad, valid,
+                                     bub_len, max_len=params.bubble_len_eff)
+    nh2 = _n_heads(succ, ad, valid)
+    small2 = 1 << max(1, (nh2 // 4).bit_length() - 1)
+    big2 = 1 << nh2.bit_length()
+    for ladder in [(big2,), (small2, big2), (small2,)]:
+        b, cb = pop_bubbles_pass(succ, okh, okl, cnt, ad, valid, bub_len,
+                                 max_len=params.bubble_len_eff,
+                                 walk_m=ladder)
+        assert bool(cb) == bool(cbd), ladder
+        assert np.array_equal(np.asarray(b), np.asarray(bd)), ladder
+    assert bool(cd) and bool(cbd), "fixture must exercise real kills"
+
+
+def test_full_simplify_fixpoint_ladder_invariant():
+    """Entire fixpoint loop under a forced tiny first rung == default."""
+    from genome_tpu.graph.simplify import simplify_device
+
+    succ, okh, okl, cnt, alive, valid, params = _graph(seed=23, glen=1000)
+    ref = simplify_device(succ, okh, okl, cnt, alive, valid, params)
+
+    # monkeypatch-free: drive the loop manually with a tiny ladder
+    tip_len = jnp.int32(params.tip_len_eff)
+    bub_len = jnp.int32(params.bubble_len_eff)
+    a = alive
+    for _ in range(params.max_rounds):
+        a, c1 = clip_tips_pass(succ, okh, okl, cnt, a, valid, tip_len,
+                               max_len=params.tip_len_eff, walk_m=(2,))
+        a, c2 = pop_bubbles_pass(succ, okh, okl, cnt, a, valid, bub_len,
+                                 max_len=params.bubble_len_eff, walk_m=(2,))
+        if not (bool(c1) or bool(c2)):
+            break
+    assert np.array_equal(np.asarray(a), np.asarray(ref))
