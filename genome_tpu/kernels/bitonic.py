@@ -121,3 +121,49 @@ def sort_blocks_auto(arrays, num_keys: int, block: int):
     """Interpret-mode fallback off TPU (CI runs on CPU)."""
     on_tpu = jax.devices()[0].platform == "tpu"
     return sort_blocks(tuple(arrays), num_keys, block, interpret=not on_tpu)
+
+
+def _merge_kernel(num_keys: int, block: int, refs):
+    """Halving-only network: sorts a block that is already BITONIC —
+    the in-VMEM tail (distances block/2 .. 1) of one merge level, fused
+    into a single HBM trip instead of log2(block) XLA stages."""
+    n_arr = len(refs) // 2
+    ins, outs = refs[:n_arr], refs[n_arr:]
+    xs = [r[...] for r in ins]
+    j = block // 2
+    while j >= 1:
+        xs = _stage(xs, num_keys, j, block)
+        j //= 2
+    for o, x in zip(outs, xs):
+        o[...] = x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_keys", "block", "interpret"))
+def merge_blocks(arrays, num_keys: int, block: int, interpret: bool = False):
+    """Sort each `block`-run ascending, assuming each run is bitonic
+    (e.g. after the cross-block stages of a merge level). Same contract
+    as sort_blocks otherwise."""
+    assert block >= 2 * LANES and (block & (block - 1)) == 0, block
+    n = arrays[0].shape[0]
+    assert n % block == 0, (n, block)
+    nblocks = n // block
+    rows = block // LANES
+
+    grid_spec = pl.GridSpec(
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+                  for _ in arrays],
+        out_specs=[pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in arrays],
+    )
+    out = pl.pallas_call(
+        lambda *refs: _merge_kernel(num_keys, block, refs),
+        out_shape=[jax.ShapeDtypeStruct((nblocks * rows, LANES), a.dtype)
+                   for a in arrays],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*[a.reshape(nblocks * rows, LANES) for a in arrays])
+    return tuple(o.reshape(-1) for o in out)
