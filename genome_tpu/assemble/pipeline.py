@@ -83,23 +83,39 @@ def extract_stream(reads, k: int, batch_reads: int = 65536,
     return jnp.concatenate(his), jnp.concatenate(los)
 
 
-def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int):
-    """Code-matrix variant of extract_stream (same batching/padding)."""
+def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int,
+                          chunk_rows: int = 1 << 21):
+    """Code-matrix variant of extract_stream (native-IO fast path).
+
+    Unlike the strings path, codes go to the device PACKED (4 bases/byte
+    + validity bitmask, kernels/extract.py pack_codes_host): the
+    host->device link moves ~3.2x fewer bytes — at E. coli scale that
+    was ~1.4 s of the e2e count phase. Rows are padded to a 1/32-pow2
+    step so compiled shapes stay bounded; inputs beyond `chunk_rows`
+    stream in large chunks to bound device memory.
+    """
+    from genome_tpu.kernels.extract import (extract_canonical_kmers_packed,
+                                            pack_codes_host)
     r = codes.shape[0]
     if r == 0 or codes.shape[1] < k:
         z = jnp.zeros((0,), dtype=jnp.uint32)
         return z, z
     L = ((codes.shape[1] + 7) // 8) * 8
     his, los = [], []
-    for i in range(0, r, batch_reads):
-        chunk = codes[i : i + batch_reads]
-        b = batch_reads if r > batch_reads else \
-            1 << max(8, (chunk.shape[0] - 1).bit_length())
-        buf = np.full((b, L), 4, dtype=np.uint8)
-        buf[: chunk.shape[0], : codes.shape[1]] = chunk
-        hi, lo = extract_canonical_kmers(jnp.asarray(buf), k)
+    for i in range(0, r, chunk_rows):
+        chunk = codes[i : i + chunk_rows]
+        cr = chunk.shape[0]
+        step = max(256, 1 << max(0, (cr - 1).bit_length() - 5))
+        rpad = -(-cr // step) * step
+        buf = np.full((rpad, L), 4, dtype=np.uint8)
+        buf[:cr, : codes.shape[1]] = chunk
+        packed, invalid = pack_codes_host(buf)
+        hi, lo = extract_canonical_kmers_packed(
+            jnp.asarray(packed), jnp.asarray(invalid), k, L)
         his.append(hi)
         los.append(lo)
+    if len(his) == 1:
+        return his[0], los[0]
     return jnp.concatenate(his), jnp.concatenate(los)
 
 
@@ -187,24 +203,32 @@ def _count_streaming(hi, lo, params, capacity, metrics, chunk, n_windows,
 
 
 def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                          params, metrics: Metrics | None = None):
-    """Fixpoint loop (host-driven): tips then bubbles per round (SEMANTICS §5)."""
+                          params, metrics: Metrics | None = None,
+                          with_links: bool = False):
+    """Fixpoint loop (host-driven): tips then bubbles per round (SEMANTICS §5).
+
+    with_links: also return the final round's (next_u, prev_u) links for
+    final_chain_state (None if the loop never reached a clean fixpoint)."""
+    from genome_tpu.graph.simplify import run_pass_inc
     tip_len = jnp.int32(params.tip_len_eff)
     bubble_len = jnp.int32(params.bubble_len_eff)
+    links = None
+    deg = None
     for rnd in range(params.max_rounds):
-        alive, c1 = clip_tips_pass(succ, okv_hi, okv_lo, counts, alive,
-                                   valid_node, tip_len,
-                                   max_len=params.tip_len_eff)
-        alive, c2 = pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive,
-                                     valid_node, bubble_len,
-                                     max_len=params.bubble_len_eff)
+        alive, c1, _l1, deg = run_pass_inc(
+            "tips", succ, okv_hi, okv_lo, counts, alive, valid_node,
+            tip_len, params.tip_len_eff, deg)
+        alive, c2, l2, deg = run_pass_inc(
+            "bubbles", succ, okv_hi, okv_lo, counts, alive, valid_node,
+            bubble_len, params.bubble_len_eff, deg)
         changed = bool(c1) or bool(c2)
         if metrics:
             metrics.log("simplify_round", round=rnd, tips=bool(c1),
                         bubbles=bool(c2), alive=int(alive.sum()))
         if not changed:
+            links = l2
             break
-    return alive
+    return (alive, links) if with_links else alive
 
 
 # kept as the simple name used elsewhere
@@ -277,6 +301,7 @@ def run_pipeline(reads, params: AssemblyParams,
 
         # ---- phase: simplify ----
         saved = ckpt.load("simplify")
+        links = None
         if saved is not None and saved["alive"].shape[0] == table_hi.shape[0]:
             metrics.log("resume", phase="simplify")
             alive = jnp.asarray(saved["alive"])
@@ -285,9 +310,9 @@ def run_pipeline(reads, params: AssemblyParams,
                 cap = table_hi.shape[0]
                 valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
                 alive = jnp.ones((cap,), dtype=jnp.bool_)
-                alive = simplify_with_metrics(
+                alive, links = simplify_with_metrics(
                     succ, okv_hi, okv_lo, counts, alive, valid_node, params,
-                    metrics)
+                    metrics, with_links=True)
                 jax.block_until_ready(alive)
                 info["alive"] = int((alive & valid_node).sum())
             ckpt.save("simplify", alive=alive)
@@ -300,7 +325,7 @@ def run_pipeline(reads, params: AssemblyParams,
             cap = table_hi.shape[0]
             valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
             fs = final_chain_state(succ, okv_hi, okv_lo, counts, alive,
-                                   valid_node)
+                                   valid_node, links=links)
             contigs = emit_contigs_device(fs, okv_hi, okv_lo, params.k,
                                           params.min_contig_len)
             info["n_contigs"] = len(contigs)

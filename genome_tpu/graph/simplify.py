@@ -337,14 +337,12 @@ def _kill_paths(alive, path, doomed_m):
     return alive.at[canon.reshape(-1)].set(False, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("L", "M"))
-def _clip_tips_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                    tip_len, L: int, M: int):
+def _tips_body(succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg,
+               usucc, tip_len, L: int, M: int):
     capacity = alive.shape[0]
     n2 = 2 * capacity
-    alive_o = jnp.repeat(alive & valid_node, 2)
-    outdeg, usucc = _degrees(succ, alive_o)
     next_u, prev_u = _links(outdeg, usucc)
+    alive_o = jnp.repeat(alive & valid_node, 2)
     is_head = alive_o & (prev_u < 0)
     heads, n_heads, ovf = _compact_ids(is_head, M)
     st = _walk_stats(next_u, counts, heads, n_heads, L, want_cov=False)
@@ -356,17 +354,25 @@ def _clip_tips_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
     end_open = (tail >= 0) & (outdeg[tailc] == 0)
     doomed = cand & (start_open != end_open)
     alive2 = _kill_paths(alive, st["path"], doomed)
-    return alive2, doomed.any(), ovf
+    return alive2, doomed.any(), ovf, next_u, prev_u, st["path"], doomed
 
 
 @functools.partial(jax.jit, static_argnames=("L", "M"))
-def _pop_bubbles_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                      bubble_len, L: int, M: int):
-    capacity = alive.shape[0]
-    n2 = 2 * capacity
+def _clip_tips_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                    tip_len, L: int, M: int):
     alive_o = jnp.repeat(alive & valid_node, 2)
     outdeg, usucc = _degrees(succ, alive_o)
+    r = _tips_body(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                   outdeg, usucc, tip_len, L, M)
+    return r[:5]
+
+
+def _bubbles_body(succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg,
+                  usucc, bubble_len, L: int, M: int):
+    capacity = alive.shape[0]
+    n2 = 2 * capacity
     next_u, prev_u = _links(outdeg, usucc)
+    alive_o = jnp.repeat(alive & valid_node, 2)
     is_head = alive_o & (prev_u < 0)
     heads, n_heads, ovf = _compact_ids(is_head, M)
     st = _walk_stats(next_u, counts, heads, n_heads, L, want_cov=True)
@@ -411,51 +417,215 @@ def _pop_bubbles_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
     doomed = jnp.zeros(heads.shape[0], dtype=jnp.bool_).at[
         jnp.where(doomed_sorted, si, heads.shape[0])].set(True, mode="drop")
     alive2 = _kill_paths(alive, st["path"], doomed)
-    return alive2, doomed.any(), ovf
+    return alive2, doomed.any(), ovf, next_u, prev_u, st["path"], doomed
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M"))
+def _pop_bubbles_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                      bubble_len, L: int, M: int):
+    alive_o = jnp.repeat(alive & valid_node, 2)
+    outdeg, usucc = _degrees(succ, alive_o)
+    r = _bubbles_body(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                      outdeg, usucc, bubble_len, L, M)
+    return r[:5]
 
 
 def clip_tips_pass(succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
-                   max_len: int | None = None, walk_m=_WALK_M):
-    """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed).
+                   max_len: int | None = None, walk_m=_WALK_M,
+                   with_links: bool = False):
+    """One tip-clipping pass (SEMANTICS §5). Returns (alive, changed)
+    [+ links when with_links].
 
     Walk-based fast path when max_len is static; escalates the candidate
     buffer through the `walk_m` ladder and falls back to the dense pass
-    on overflow (walk_m is overridable so CI can force every rung)."""
+    on overflow (walk_m is overridable so CI can force every rung).
+
+    with_links: additionally return (next_u, prev_u) as computed on the
+    PRE-kill alive mask (valid for the post state only when changed is
+    False), or None on the dense fallback — lets the fixpoint loop hand
+    the final round's links to final_chain_state instead of recomputing
+    the degree gathers."""
     if max_len is None:
-        return clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
-                                    valid_node, tip_len, None)
+        r = clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                                 valid_node, tip_len, None)
+        return (*r, None) if with_links else r
     for M in walk_m:
-        alive2, changed, ovf = _clip_tips_walk(
+        alive2, changed, ovf, nx, pv = _clip_tips_walk(
             succ, okv_hi, okv_lo, counts, alive, valid_node, tip_len,
             L=int(max_len), M=M)
         if not bool(ovf):
-            return alive2, changed
-    return clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
-                                valid_node, tip_len, max_len)
+            return ((alive2, changed, (nx, pv)) if with_links
+                    else (alive2, changed))
+    r = clip_tips_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                             valid_node, tip_len, max_len)
+    return (*r, None) if with_links else r
 
 
 def pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                     bubble_len, max_len: int | None = None, walk_m=_WALK_M):
-    """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed).
+                     bubble_len, max_len: int | None = None, walk_m=_WALK_M,
+                     with_links: bool = False):
+    """One bubble-popping pass (SEMANTICS §5). Returns (alive, changed)
+    [+ links when with_links, see clip_tips_pass].
 
     Walk-based fast path when max_len is static; dense fallback on
     candidate overflow (partial walk results are always discarded).
     walk_m: candidate-buffer ladder, overridable for CI."""
     if max_len is None:
-        return pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
-                                      valid_node, bubble_len, None)
+        r = pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                                   valid_node, bubble_len, None)
+        return (*r, None) if with_links else r
     for M in walk_m:
-        alive2, changed, ovf = _pop_bubbles_walk(
+        alive2, changed, ovf, nx, pv = _pop_bubbles_walk(
             succ, okv_hi, okv_lo, counts, alive, valid_node, bubble_len,
             L=int(max_len), M=M)
         if not bool(ovf):
-            return alive2, changed
-    return pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
-                                  valid_node, bubble_len, max_len)
+            return ((alive2, changed, (nx, pv)) if with_links
+                    else (alive2, changed))
+    r = pop_bubbles_pass_dense(succ, okv_hi, okv_lo, counts, alive,
+                               valid_node, bubble_len, max_len)
+    return (*r, None) if with_links else r
 
 
 # ---------------------------------------------------------------------------
-# Ruler-based list ranking (round-3 fast path for final_chain_state).
+# Incremental degree maintenance (round-3). Each walk pass used to pay a
+# full [2C, 4] alive-gather to recompute (outdeg, usucc) from scratch —
+# ~0.3 s/pass at E. coli scale, even for the final verification round
+# that kills nothing. Kills per pass are tiny by comparison, and a kill
+# only changes the degrees of the dead nodes' in-neighbors (reachable by
+# RC symmetry: in-neighbors of v = rc(successors of rc(v))), so the loop
+# now carries (outdeg, usucc) across passes and updates just the
+# affected rows: scatter-subtract per lost edge, re-derive usucc on the
+# O(kills) affected set. Results are bit-identical to the dense
+# recompute (dead rows included: outdeg 0, usucc -1) — CI-enforced.
+# ---------------------------------------------------------------------------
+
+_KILL_M = 65536  # compacted killed-node capacity; overflow -> dense recompute
+
+
+def _compact_vals(flags, vals, M: int):
+    """Values at flagged positions, compacted to M slots (in order)."""
+    from genome_tpu.kernels.count import _on_tpu
+    n = flags.shape[0]
+    if _on_tpu():
+        from genome_tpu.kernels.compact import CHUNK, TILE, compact_flagged
+        npad = -(-n // TILE) * TILE
+        if npad != n:
+            flags = jnp.concatenate(
+                [flags, jnp.zeros((npad - n,), jnp.bool_)])
+            vals = jnp.concatenate([vals, jnp.zeros((npad - n,), vals.dtype)])
+        cap = -(-M // CHUNK) * CHUNK + CHUNK
+        (v,), _, total, _ = compact_flagged(flags, (vals,), cap)
+        return v[:M], total, total > M
+    dest = jnp.cumsum(flags.astype(I32)) - 1
+    scat = jnp.where(flags & (dest < M), dest, M)
+    out = jnp.zeros((M,), dtype=vals.dtype).at[scat].set(vals, mode="drop")
+    total = flags.sum(dtype=I32)
+    return out, total, total > M
+
+
+def _update_degrees(succ, alive2, valid_node, path, doomed_m, outdeg, usucc,
+                    Mk: int):
+    """(outdeg, usucc) for alive2, given their values for the pre-kill
+    alive and the pass's kill set (doomed walk paths). Exactly equal to
+    the dense recompute; kovf set when kills exceed Mk (results then
+    unusable — caller recomputes densely)."""
+    n2 = succ.shape[0]
+    kill = doomed_m[None, :] & (path >= 0)
+    canon = jnp.where(kill, path >> 1, 0).reshape(-1).astype(I32)
+    kc, nk, kovf = _compact_vals(kill.reshape(-1), canon, Mk)
+    real = jnp.arange(Mk, dtype=I32) < jnp.minimum(nk, Mk)
+    # DEDUP: a self-RC chain's walk path can visit both orientations of
+    # one canonical node; without dedup its lost edges would be
+    # subtracted twice (usucc, being a recompute, would survive — outdeg
+    # would not)
+    big = jnp.int32(n2)  # > any canonical id
+    (kc_s,) = jax.lax.sort((jnp.where(real, kc, big),), num_keys=1)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             kc_s[1:] != kc_s[:-1]])
+    real = first & (kc_s != big)
+    kc_ = jnp.where(real, kc_s, 0)
+    alive_o2 = jnp.repeat(alive2 & valid_node, 2)
+    # all out-edges of both orientations of each killed node; each edge
+    # (rc(w) -> killed) loses rc(w) one outdegree
+    rows0 = succ[jnp.clip(2 * kc_, 0, n2 - 1)]
+    rows1 = succ[jnp.clip(2 * kc_ + 1, 0, n2 - 1)]
+    w = jnp.concatenate([rows0, rows1], axis=1)  # [Mk, 8]
+    wc = jnp.clip(w, 0, n2 - 1)
+    wv = (w >= 0) & real[:, None] & alive_o2[wc]
+    tgt = jnp.where(wv, wc ^ 1, n2)
+    outdeg2 = outdeg.at[tgt.reshape(-1)].add(
+        -wv.reshape(-1).astype(I32), mode="drop")
+    # dead rows take the dense recompute's values (outdeg 0, usucc -1)
+    dead = jnp.where(real[:, None],
+                     2 * kc_[:, None] + jnp.arange(2, dtype=I32)[None, :], n2)
+    outdeg2 = outdeg2.at[dead.reshape(-1)].set(0, mode="drop")
+    # usucc changed exactly on the affected in-neighbors: recompute there
+    su = succ[jnp.clip(tgt, 0, n2 - 1)]  # [Mk, 8, 4]
+    at_ = (su >= 0) & alive_o2[jnp.clip(su, 0, n2 - 1)]
+    new_us = jnp.where(at_, su, -1).max(axis=2)
+    usucc2 = usucc.at[tgt.reshape(-1)].set(new_us.reshape(-1), mode="drop")
+    usucc2 = usucc2.at[dead.reshape(-1)].set(-1, mode="drop")
+    return outdeg2, usucc2, kovf
+
+
+@jax.jit
+def _degrees_jit(succ, alive, valid_node):
+    alive_o = jnp.repeat(alive & valid_node, 2)
+    return _degrees(succ, alive_o)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M", "Mk"))
+def _clip_tips_walk_inc(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                        outdeg, usucc, tip_len, L: int, M: int, Mk: int):
+    alive2, changed, ovf, nx, pv, path, doomed = _tips_body(
+        succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg, usucc,
+        tip_len, L, M)
+    od2, us2, kovf = _update_degrees(succ, alive2, valid_node, path, doomed,
+                                     outdeg, usucc, Mk)
+    return alive2, changed, ovf, nx, pv, od2, us2, kovf
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M", "Mk"))
+def _pop_bubbles_walk_inc(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                          outdeg, usucc, bubble_len, L: int, M: int,
+                          Mk: int):
+    alive2, changed, ovf, nx, pv, path, doomed = _bubbles_body(
+        succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg, usucc,
+        bubble_len, L, M)
+    od2, us2, kovf = _update_degrees(succ, alive2, valid_node, path, doomed,
+                                     outdeg, usucc, Mk)
+    return alive2, changed, ovf, nx, pv, od2, us2, kovf
+
+
+def run_pass_inc(kind: str, succ, okv_hi, okv_lo, counts, alive, valid_node,
+                 threshold, max_len: int, deg, walk_m=_WALK_M):
+    """One tip/bubble pass with carried degrees.
+
+    deg: (outdeg, usucc) matching `alive`, or None (computed here).
+    Returns (alive2, changed, links_or_None, deg2_or_None): deg2 matches
+    alive2 unless the kill set overflowed _KILL_M or the dense fallback
+    ran (then None — next pass recomputes); links as in clip_tips_pass.
+    """
+    walk = _clip_tips_walk_inc if kind == "tips" else _pop_bubbles_walk_inc
+    dense = (clip_tips_pass_dense if kind == "tips"
+             else pop_bubbles_pass_dense)
+    if deg is None:
+        deg = _degrees_jit(succ, alive, valid_node)
+    for M in walk_m:
+        alive2, changed, ovf, nx, pv, od2, us2, kovf = walk(
+            succ, okv_hi, okv_lo, counts, alive, valid_node, deg[0], deg[1],
+            threshold, L=int(max_len), M=M, Mk=_KILL_M)
+        if bool(ovf):
+            continue
+        if bool(kovf):
+            return alive2, changed, (nx, pv), None
+        return alive2, changed, (nx, pv), (od2, us2)
+    a2, ch = dense(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                   threshold, max_len)
+    return a2, ch, None, None
+
+
+
 #
 # Full pointer doubling costs log2(n2) rounds of two full-size dependent
 # gathers — the measured 7 s wall of the final phase at E. coli scale.
@@ -545,19 +715,14 @@ def _rank_rulers(next_u, prev_u):
 
 
 @jax.jit
-def final_chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
-    """Chain state + primary mask for contig emission (SEMANTICS §6).
-
-    Fast path: ruler ranking + only the aggregates emission needs
-    (tail_of for the twin/primary pin — no length/coverage segment
-    reductions). Dense fallback (exact cycle breaking) via lax.cond when
-    any cycle survives simplification.
-    """
+def _final_chain_state_links(succ, okv_hi, okv_lo, counts, alive,
+                             valid_node, next_u, prev_u):
+    """final_chain_state body with the link arrays precomputed (handed
+    over from the fixpoint loop's last no-change pass — saves the
+    degree gathers, the largest fixed cost of the final phase)."""
     n2 = succ.shape[0]
     ids = jnp.arange(n2, dtype=I32)
     alive_o = jnp.repeat(alive & valid_node, 2)
-    outdeg, usucc = _degrees(succ, alive_o)
-    next_u, prev_u = _links(outdeg, usucc)
     head_r, dist_r, ok = _rank_rulers(next_u, prev_u)
 
     def fast(_):
@@ -585,17 +750,54 @@ def final_chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node):
     return dict(head=head, dist=dist, primary=primary, alive_o=alive_o)
 
 
-def simplify_device(succ, okv_hi, okv_lo, counts, alive, valid_node, params):
-    """Fixpoint loop (host-driven): tips then bubbles per round (SEMANTICS §5)."""
+@jax.jit
+def _links_of(succ, alive, valid_node):
+    alive_o = jnp.repeat(alive & valid_node, 2)
+    outdeg, usucc = _degrees(succ, alive_o)
+    return _links(outdeg, usucc)
+
+
+def final_chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
+                      links=None):
+    """Chain state + primary mask for contig emission (SEMANTICS §6).
+
+    Fast path: ruler ranking + only the aggregates emission needs
+    (tail_of for the twin/primary pin — no length/coverage segment
+    reductions). Dense fallback (exact cycle breaking) via lax.cond when
+    any cycle survives simplification.
+
+    links: optional (next_u, prev_u) computed on exactly this alive mask
+    (the fixpoint loop's final no-change pass) — skips the degree
+    gathers."""
+    if links is None:
+        links = _links_of(succ, alive, valid_node)
+    return _final_chain_state_links(succ, okv_hi, okv_lo, counts, alive,
+                                    valid_node, links[0], links[1])
+
+
+def simplify_device(succ, okv_hi, okv_lo, counts, alive, valid_node, params,
+                    with_links: bool = False):
+    """Fixpoint loop (host-driven): tips then bubbles per round (SEMANTICS §5).
+
+    Degrees are carried across passes and updated incrementally from
+    each pass's kill set (run_pass_inc) instead of recomputed from
+    scratch every pass.
+
+    with_links: also return the final round's (next_u, prev_u) — valid
+    for the returned alive mask, or None when the loop hit max_rounds
+    still changing or ended on a dense fallback."""
     tip_len = jnp.int32(params.tip_len_eff)
     bubble_len = jnp.int32(params.bubble_len_eff)
+    links = None
+    deg = None
     for _ in range(params.max_rounds):
-        alive, c1 = clip_tips_pass(succ, okv_hi, okv_lo, counts, alive,
-                                   valid_node, tip_len,
-                                   max_len=params.tip_len_eff)
-        alive, c2 = pop_bubbles_pass(succ, okv_hi, okv_lo, counts, alive,
-                                     valid_node, bubble_len,
-                                     max_len=params.bubble_len_eff)
+        alive, c1, _l1, deg = run_pass_inc(
+            "tips", succ, okv_hi, okv_lo, counts, alive, valid_node,
+            tip_len, params.tip_len_eff, deg)
+        alive, c2, l2, deg = run_pass_inc(
+            "bubbles", succ, okv_hi, okv_lo, counts, alive, valid_node,
+            bubble_len, params.bubble_len_eff, deg)
         if not (bool(c1) or bool(c2)):
+            links = l2  # computed on the final alive; no kills after
             break
-    return alive
+    return (alive, links) if with_links else alive

@@ -38,6 +38,52 @@ def pack_reads(reads: list[str], length: int | None = None) -> np.ndarray:
     return out
 
 
+def pack_codes_host(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host: uint8 code matrix [B, L] -> (packed [B, ceil(L/4)] 4 codes
+    per byte, invalid [B, ceil(L/8)] validity bitmask).
+
+    Device->host code matrices are the big e2e transfer (1 B/base); this
+    packs to 0.3125 B/base so the host->device link moves ~3.2x less.
+    Codes >= 4 (N/pad) pack as arbitrary 2-bit values and are restored
+    via the mask on device (extract_canonical_kmers_packed).
+    """
+    B, L = codes.shape
+    L4 = -(-L // 4) * 4
+    L8 = -(-L // 8) * 8
+    c = np.full((B, L8), PAD_CODE, dtype=np.uint8)
+    c[:, :L] = codes
+    bad = c >= 4
+    c2 = (c & 3).astype(np.uint8)
+    packed = (c2[:, 0::4] | (c2[:, 1::4] << 2) | (c2[:, 2::4] << 4)
+              | (c2[:, 3::4] << 6))[:, : L4 // 4]
+    weights = (1 << np.arange(8, dtype=np.uint8))
+    invalid = (bad.reshape(B, L8 // 8, 8) * weights[None, None, :]).sum(
+        axis=2).astype(np.uint8)
+    return packed, invalid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L"))
+def extract_canonical_kmers_packed(packed: jax.Array, invalid: jax.Array,
+                                   k: int, L: int):
+    """extract_canonical_kmers on the packed host format (pack_codes_host).
+
+    Unpacks on device (cheap vector ops XLA fuses into the window loop)
+    and yields the identical canonical (hi, lo) stream for the first L
+    columns."""
+    B = packed.shape[0]
+    p = packed.astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    codes4 = (p[:, :, None] >> shifts[None, None, :]) & 3
+    codes = codes4.reshape(B, -1)
+    iv = invalid.astype(jnp.uint32)
+    bshifts = jnp.arange(8, dtype=jnp.uint32)
+    bad8 = (iv[:, :, None] >> bshifts[None, None, :]) & 1
+    bad = bad8.reshape(B, -1)
+    codes = jnp.where(bad[:, : codes.shape[1]] > 0, jnp.uint32(PAD_CODE),
+                      codes)
+    return extract_canonical_kmers(codes[:, :L], k)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def extract_canonical_kmers(codes: jax.Array, k: int):
     """[B, L] uint8 codes -> flat canonical k-mer stream ((hi, lo) uint32).

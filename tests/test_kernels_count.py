@@ -152,3 +152,20 @@ def test_hashtable_overflow_on_tiny_capacity():
     hi, lo = extract_canonical_kmers(codes, k)
     res = count_kmers_hashtable(hi, lo, 1, capacity=256, max_rounds=8)
     assert bool(res["overflow"])
+
+
+def test_packed_extract_matches_unpacked():
+    import numpy as np
+    import jax.numpy as jnp
+    from genome_tpu.kernels.extract import (extract_canonical_kmers,
+                                            extract_canonical_kmers_packed,
+                                            pack_codes_host)
+    rng = np.random.default_rng(5)
+    for B, L, k in [(8, 50, 11), (16, 104, 21), (3, 23, 7), (5, 64, 31)]:
+        codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)  # incl N
+        packed, invalid = pack_codes_host(codes)
+        ph, pl = extract_canonical_kmers_packed(
+            jnp.asarray(packed), jnp.asarray(invalid), k, L)
+        eh, el = extract_canonical_kmers(jnp.asarray(codes), k)
+        assert (np.asarray(ph) == np.asarray(eh)).all()
+        assert (np.asarray(pl) == np.asarray(el)).all()

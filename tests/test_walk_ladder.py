@@ -97,3 +97,53 @@ def test_full_simplify_fixpoint_ladder_invariant():
         if not (bool(c1) or bool(c2)):
             break
     assert np.array_equal(np.asarray(a), np.asarray(ref))
+
+
+def test_incremental_degrees_match_dense():
+    """run_pass_inc's carried (outdeg, usucc) == dense recompute after
+    every pass (dead rows included: outdeg 0, usucc -1)."""
+    import jax.numpy as jnp
+    from genome_tpu.graph.simplify import (_degrees, _degrees_jit,
+                                           run_pass_inc)
+
+    succ, okh, okl, cnt, alive, valid, params = _graph(seed=29, glen=1800,
+                                                       err=0.025)
+    tip_len = jnp.int32(params.tip_len_eff)
+    bub_len = jnp.int32(params.bubble_len_eff)
+    deg = None
+    for rnd in range(6):
+        for kind, thr, ml in [("tips", tip_len, params.tip_len_eff),
+                              ("bubbles", bub_len, params.bubble_len_eff)]:
+            alive, ch, _links, deg = run_pass_inc(
+                kind, succ, okh, okl, cnt, alive, valid, thr, ml, deg)
+            assert deg is not None, "kill overflow unexpected at this scale"
+            od_d, us_d = _degrees_jit(succ, alive, valid)
+            assert np.array_equal(np.asarray(deg[0]), np.asarray(od_d)), \
+                (rnd, kind, "outdeg")
+            assert np.array_equal(np.asarray(deg[1]), np.asarray(us_d)), \
+                (rnd, kind, "usucc")
+        if not bool(ch):
+            break
+
+
+def test_incremental_loop_matches_dense_loop():
+    """simplify_device (incremental) == pure dense pass loop."""
+    import jax.numpy as jnp
+    from genome_tpu.graph.simplify import (clip_tips_pass_dense,
+                                           pop_bubbles_pass_dense,
+                                           simplify_device)
+
+    succ, okh, okl, cnt, alive0, valid, params = _graph(seed=31, glen=1200)
+    got = simplify_device(succ, okh, okl, cnt, alive0, valid, params)
+    a = alive0
+    tip_len = jnp.int32(params.tip_len_eff)
+    bub_len = jnp.int32(params.bubble_len_eff)
+    for _ in range(params.max_rounds):
+        a, c1 = clip_tips_pass_dense(succ, okh, okl, cnt, a, valid, tip_len,
+                                     max_len=params.tip_len_eff)
+        a, c2 = pop_bubbles_pass_dense(succ, okh, okl, cnt, a, valid,
+                                       bub_len,
+                                       max_len=params.bubble_len_eff)
+        if not (bool(c1) or bool(c2)):
+            break
+    assert np.array_equal(np.asarray(got), np.asarray(a))
