@@ -82,6 +82,11 @@ def _load():
                                 ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_int64]
+    lib.gt_pack_codes.restype = ctypes.c_int64
+    lib.gt_pack_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -131,6 +136,34 @@ def _parse_python(data: bytes, length: int | None) -> np.ndarray:
     else:
         raise ValueError("not FASTA/FASTQ")
     return pack_reads(seqs, length)
+
+
+def pack_codes_native(codes: np.ndarray, threads: int | None = None
+                      ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native row-parallel packing of a [B, L] uint8 code matrix into the
+    device wire format (4 codes/byte + invalid bitmask). Byte-identical
+    to kernels.extract.pack_codes_host's numpy path (CI-compared);
+    returns None when the native library is unavailable or the input is
+    not C-contiguous uint8."""
+    lib = _load()
+    if lib is None:
+        return None
+    if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
+        return None
+    B, L = codes.shape
+    w4 = -(-L // 4)
+    w8 = -(-L // 8)
+    packed = np.empty((B, w4), dtype=np.uint8)
+    invalid = np.empty((B, w8), dtype=np.uint8)
+    if B:
+        nt = threads or min(8, os.cpu_count() or 1)
+        got = lib.gt_pack_codes(codes.ctypes.data_as(ctypes.c_void_p), B, L,
+                                w4, w8,
+                                packed.ctypes.data_as(ctypes.c_void_p),
+                                invalid.ctypes.data_as(ctypes.c_void_p), nt)
+        if got != B:
+            return None
+    return packed, invalid
 
 
 def count_fastx_records(path: str) -> int:

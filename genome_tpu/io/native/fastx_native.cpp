@@ -235,6 +235,70 @@ void parse_rows(const char* buf, int64_t n, const int64_t* offsets,
 
 }  // namespace
 
+namespace {
+
+// Pack rows [r0, r1) of a [rows, L] code matrix into the device wire
+// format (kernels/extract.py pack_codes_host): 4 codes/byte little-end
+// first, plus a 1-bit-per-base invalid mask (code >= 4). Columns beyond
+// L read as invalid/pad (code 4), matching the numpy reference.
+void pack_rows(const int8_t* codes, int64_t r0, int64_t r1, int64_t L,
+               int64_t w4, int64_t w8, uint8_t* packed, uint8_t* invalid) {
+    for (int64_t row = r0; row < r1; ++row) {
+        const int8_t* src = codes + row * L;
+        uint8_t* pd = packed + row * w4;
+        uint8_t* iv = invalid + row * w8;
+        for (int64_t j = 0; j < w4; ++j) {
+            uint8_t b = 0;
+            const int64_t c0 = 4 * j;
+            for (int64_t t = 0; t < 4; ++t) {
+                const int64_t c = c0 + t;
+                const uint8_t v = (c < L) ? static_cast<uint8_t>(src[c]) : 4;
+                b |= static_cast<uint8_t>((v & 3) << (2 * t));
+            }
+            pd[j] = b;
+        }
+        for (int64_t j = 0; j < w8; ++j) {
+            uint8_t b = 0;
+            const int64_t c0 = 8 * j;
+            for (int64_t t = 0; t < 8; ++t) {
+                const int64_t c = c0 + t;
+                const uint8_t v = (c < L) ? static_cast<uint8_t>(src[c]) : 4;
+                b |= static_cast<uint8_t>((v >= 4 ? 1 : 0) << t);
+            }
+            iv[j] = b;
+        }
+    }
+}
+
+}  // namespace
+
+// Multi-threaded host packing: codes [rows, L] int8 -> packed [rows, w4]
+// + invalid bitmask [rows, w8] (w4 = ceil(L4/4) with L4 = 4-aligned L,
+// w8 likewise over 8). Caller allocates outputs. Returns rows.
+int64_t gt_pack_codes(const int8_t* codes, int64_t rows, int64_t L,
+                      int64_t w4, int64_t w8, uint8_t* packed,
+                      uint8_t* invalid, int64_t nthreads) {
+    if (rows <= 0) return 0;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > rows) nthreads = rows;
+    if (nthreads == 1) {
+        pack_rows(codes, 0, rows, L, w4, w8, packed, invalid);
+        return rows;
+    }
+    std::vector<std::thread> workers;
+    workers.reserve(static_cast<size_t>(nthreads));
+    const int64_t per = (rows + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+        const int64_t r0 = t * per;
+        const int64_t r1 = (r0 + per < rows) ? r0 + per : rows;
+        if (r0 >= r1) break;
+        workers.emplace_back(pack_rows, codes, r0, r1, L, w4, w8, packed,
+                             invalid);
+    }
+    for (auto& w : workers) w.join();
+    return rows;
+}
+
 // Multi-threaded decode over a prebuilt record index.
 int64_t gt_parse_mt(const char* buf, int64_t n, const int64_t* offsets,
                     int64_t rows, int8_t* out, int64_t L,

