@@ -107,9 +107,19 @@ def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int,
         cr = chunk.shape[0]
         step = max(256, 1 << max(0, (cr - 1).bit_length() - 5))
         rpad = -(-cr // step) * step
-        buf = np.full((rpad, L), 4, dtype=np.uint8)
-        buf[:cr, : codes.shape[1]] = chunk
-        packed, invalid = pack_codes_host(buf)
+        # native packer pads rows/columns in the packed domain directly;
+        # numpy fallback materializes the padded code buffer first
+        try:
+            from genome_tpu.io.native.cio import pack_codes_native
+            pk = pack_codes_native(np.ascontiguousarray(chunk),
+                                   L_out=L, rows_out=rpad)
+        except Exception:
+            pk = None
+        if pk is None:
+            buf = np.full((rpad, L), 4, dtype=np.uint8)
+            buf[:cr, : codes.shape[1]] = chunk
+            pk = pack_codes_host(buf)
+        packed, invalid = pk
         hi, lo = extract_canonical_kmers_packed(
             jnp.asarray(packed), jnp.asarray(invalid), k, L)
         his.append(hi)

@@ -138,23 +138,34 @@ def _parse_python(data: bytes, length: int | None) -> np.ndarray:
     return pack_reads(seqs, length)
 
 
-def pack_codes_native(codes: np.ndarray, threads: int | None = None
+def pack_codes_native(codes: np.ndarray, threads: int | None = None,
+                      L_out: int | None = None, rows_out: int | None = None
                       ) -> tuple[np.ndarray, np.ndarray] | None:
     """Native row-parallel packing of a [B, L] uint8 code matrix into the
     device wire format (4 codes/byte + invalid bitmask). Byte-identical
     to kernels.extract.pack_codes_host's numpy path (CI-compared);
     returns None when the native library is unavailable or the input is
-    not C-contiguous uint8."""
+    not C-contiguous uint8.
+
+    L_out / rows_out: pad columns/rows up to these sizes with the invalid
+    code directly in the packed output — callers that need a padded
+    matrix (pipeline row/length bucketing) skip materializing the padded
+    uint8 buffer entirely (~1 B/base saved in host passes)."""
     lib = _load()
     if lib is None:
         return None
     if codes.dtype != np.uint8 or not codes.flags.c_contiguous:
         return None
     B, L = codes.shape
-    w4 = -(-L // 4)
-    w8 = -(-L // 8)
-    packed = np.empty((B, w4), dtype=np.uint8)
-    invalid = np.empty((B, w8), dtype=np.uint8)
+    Lo = max(L_out or L, L)
+    Bo = max(rows_out or B, B)
+    w4 = -(-Lo // 4)
+    w8 = -(-Lo // 8)
+    packed = np.empty((Bo, w4), dtype=np.uint8)
+    invalid = np.empty((Bo, w8), dtype=np.uint8)
+    if Bo > B:
+        packed[B:] = 0          # (4 & 3) == 0: matches the numpy path
+        invalid[B:] = 0xFF
     if B:
         nt = threads or min(8, os.cpu_count() or 1)
         got = lib.gt_pack_codes(codes.ctypes.data_as(ctypes.c_void_p), B, L,

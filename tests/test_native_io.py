@@ -144,3 +144,23 @@ def test_native_pack_codes_matches_numpy():
         gp, gi = got
         assert gp.shape == ep.shape and (gp == ep).all()
         assert gi.shape == ei.shape and (gi == ei).all()
+
+
+def test_native_pack_codes_padded_matches_numpy():
+    import numpy as np
+    from genome_tpu.io.native.cio import native_available, pack_codes_native
+    from genome_tpu.kernels.extract import _pack_codes_numpy
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(12)
+    for B, L, Bo, Lo in [(5, 10, 8, 16), (64, 100, 64, 104), (3, 7, 7, 8)]:
+        codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+        got = pack_codes_native(codes, L_out=Lo, rows_out=Bo)
+        assert got is not None
+        buf = np.full((Bo, Lo), 4, dtype=np.uint8)
+        buf[:B, :L] = codes
+        ep, ei = _pack_codes_numpy(buf)
+        gp, gi = got
+        assert gp.shape == ep.shape and (gp == ep).all()
+        assert gi.shape == ei.shape and (gi == ei).all()
