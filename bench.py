@@ -143,6 +143,8 @@ def main() -> int:
     contigs = res["contigs"]
     phases = {e["phase"]: e["wall_s"] for e in m.events
               if e["event"] == "phase_end"}
+    contig_ev = next((e for e in m.events if e["event"] == "phase_end"
+                      and e["phase"] == "contigs"), {})
 
     dev_sha = contigs_sha(contigs)
 
@@ -176,6 +178,8 @@ def main() -> int:
         "e2e_build_s": phases.get("build"),
         "e2e_simplify_s": phases.get("simplify"),
         "e2e_contigs_s": phases.get("contigs"),
+        "e2e_final_s": contig_ev.get("final_s"),
+        "e2e_emit_s": contig_ev.get("emit_s"),
         "e2e_contigs": len(contigs),
         "e2e_bp": sum(map(len, contigs)),
         "parity_device_sha": dev_sha,

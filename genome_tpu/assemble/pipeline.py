@@ -118,10 +118,22 @@ def _extract_stream_codes(codes: np.ndarray, k: int, batch_reads: int,
         if pk is None:
             buf = np.full((rpad, L), 4, dtype=np.uint8)
             buf[:cr, : codes.shape[1]] = chunk
-            pk = pack_codes_host(buf)
-        packed, invalid = pk
-        hi, lo = extract_canonical_kmers_packed(
-            jnp.asarray(packed), jnp.asarray(invalid), k, L)
+            packed, invalid = pack_codes_host(buf)
+            has_invalid = True
+        else:
+            packed, invalid, has_invalid = pk
+        if has_invalid:
+            hi, lo = extract_canonical_kmers_packed(
+                jnp.asarray(packed), jnp.asarray(invalid), k, L)
+        else:
+            # no N in the real region: skip the mask transfer (~1/3 of
+            # the wire bytes on the measured ~50-65 MB/s relay link) and
+            # rebuild validity from bounds on device
+            from genome_tpu.kernels.extract import (
+                extract_canonical_kmers_packed_nomask)
+            hi, lo = extract_canonical_kmers_packed_nomask(
+                jnp.asarray(packed), k, L, codes.shape[1],
+                jnp.int32(cr))
         his.append(hi)
         los.append(lo)
     if len(his) == 1:
@@ -334,10 +346,17 @@ def run_pipeline(reads, params: AssemblyParams,
         with metrics.phase("contigs") as info:
             cap = table_hi.shape[0]
             valid_node = jnp.arange(cap, dtype=jnp.int32) < n_unique
+            t0 = time.perf_counter()
             fs = final_chain_state(succ, okv_hi, okv_lo, counts, alive,
                                    valid_node, links=links)
+            # scalar fetch = real sync (axon block_until_ready can resolve
+            # without materializing); attributes final vs emit honestly
+            _ = fs["head"][0].item()
+            info["final_s"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
             contigs = emit_contigs_device(fs, okv_hi, okv_lo, params.k,
                                           params.min_contig_len)
+            info["emit_s"] = round(time.perf_counter() - t0, 4)
             info["n_contigs"] = len(contigs)
             info["total_bp"] = sum(map(len, contigs))
     stats["n_contigs"] = len(contigs)

@@ -86,7 +86,9 @@ def _load():
     lib.gt_pack_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_void_p,
-                                  ctypes.c_void_p, ctypes.c_int64]
+                                  ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -150,7 +152,11 @@ def pack_codes_native(codes: np.ndarray, threads: int | None = None,
     L_out / rows_out: pad columns/rows up to these sizes with the invalid
     code directly in the packed output — callers that need a padded
     matrix (pipeline row/length bucketing) skip materializing the padded
-    uint8 buffer entirely (~1 B/base saved in host passes)."""
+    uint8 buffer entirely (~1 B/base saved in host passes).
+
+    Returns (packed, invalid, real_has_invalid): the flag is True iff any
+    IN-BOUNDS code was >= 4 — when False, the caller can skip the mask
+    transfer and rebuild validity from (rows, L) bounds on device."""
     lib = _load()
     if lib is None:
         return None
@@ -166,15 +172,17 @@ def pack_codes_native(codes: np.ndarray, threads: int | None = None,
     if Bo > B:
         packed[B:] = 0          # (4 & 3) == 0: matches the numpy path
         invalid[B:] = 0xFF
+    flag = ctypes.c_int64(0)
     if B:
         nt = threads or min(8, os.cpu_count() or 1)
         got = lib.gt_pack_codes(codes.ctypes.data_as(ctypes.c_void_p), B, L,
                                 w4, w8,
                                 packed.ctypes.data_as(ctypes.c_void_p),
-                                invalid.ctypes.data_as(ctypes.c_void_p), nt)
+                                invalid.ctypes.data_as(ctypes.c_void_p),
+                                ctypes.byref(flag), nt)
         if got != B:
             return None
-    return packed, invalid
+    return packed, invalid, bool(flag.value)
 
 
 def count_fastx_records(path: str) -> int:

@@ -241,8 +241,13 @@ namespace {
 // format (kernels/extract.py pack_codes_host): 4 codes/byte little-end
 // first, plus a 1-bit-per-base invalid mask (code >= 4). Columns beyond
 // L read as invalid/pad (code 4), matching the numpy reference.
+// *any_invalid is set to 1 if any REAL (in-bounds) code is >= 4 — when it
+// stays 0 the caller can skip transferring the mask entirely and rebuild
+// validity from the row/column bounds on device.
 void pack_rows(const int8_t* codes, int64_t r0, int64_t r1, int64_t L,
-               int64_t w4, int64_t w8, uint8_t* packed, uint8_t* invalid) {
+               int64_t w4, int64_t w8, uint8_t* packed, uint8_t* invalid,
+               int64_t* any_invalid) {
+    int64_t seen = 0;
     for (int64_t row = r0; row < r1; ++row) {
         const int8_t* src = codes + row * L;
         uint8_t* pd = packed + row * w4;
@@ -263,11 +268,14 @@ void pack_rows(const int8_t* codes, int64_t r0, int64_t r1, int64_t L,
             for (int64_t t = 0; t < 8; ++t) {
                 const int64_t c = c0 + t;
                 const uint8_t v = (c < L) ? static_cast<uint8_t>(src[c]) : 4;
-                b |= static_cast<uint8_t>((v >= 4 ? 1 : 0) << t);
+                const uint8_t bad = (v >= 4) ? 1 : 0;
+                seen |= (c < L) ? bad : 0;
+                b |= static_cast<uint8_t>(bad << t);
             }
             iv[j] = b;
         }
     }
+    if (seen) *any_invalid = 1;  // monotonic: racing writers all write 1
 }
 
 }  // namespace
@@ -277,12 +285,14 @@ void pack_rows(const int8_t* codes, int64_t r0, int64_t r1, int64_t L,
 // w8 likewise over 8). Caller allocates outputs. Returns rows.
 int64_t gt_pack_codes(const int8_t* codes, int64_t rows, int64_t L,
                       int64_t w4, int64_t w8, uint8_t* packed,
-                      uint8_t* invalid, int64_t nthreads) {
+                      uint8_t* invalid, int64_t* any_invalid,
+                      int64_t nthreads) {
+    *any_invalid = 0;
     if (rows <= 0) return 0;
     if (nthreads < 1) nthreads = 1;
     if (nthreads > rows) nthreads = rows;
     if (nthreads == 1) {
-        pack_rows(codes, 0, rows, L, w4, w8, packed, invalid);
+        pack_rows(codes, 0, rows, L, w4, w8, packed, invalid, any_invalid);
         return rows;
     }
     std::vector<std::thread> workers;
@@ -293,7 +303,7 @@ int64_t gt_pack_codes(const int8_t* codes, int64_t rows, int64_t L,
         const int64_t r1 = (r0 + per < rows) ? r0 + per : rows;
         if (r0 >= r1) break;
         workers.emplace_back(pack_rows, codes, r0, r1, L, w4, w8, packed,
-                             invalid);
+                             invalid, any_invalid);
     }
     for (auto& w : workers) w.join();
     return rows;

@@ -55,7 +55,7 @@ def pack_codes_host(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         from genome_tpu.io.native.cio import pack_codes_native
         r = pack_codes_native(np.ascontiguousarray(codes, dtype=np.uint8))
         if r is not None:
-            return r
+            return r[0], r[1]
     except Exception:
         pass
     return _pack_codes_numpy(codes)
@@ -99,6 +99,37 @@ def extract_canonical_kmers_packed(packed: jax.Array, invalid: jax.Array,
     codes = jnp.where(bad[:, : codes.shape[1]] > 0, jnp.uint32(PAD_CODE),
                       codes)
     return extract_canonical_kmers(codes[:, :L], k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "L_real"))
+def extract_canonical_kmers_packed_nomask(packed: jax.Array, k: int, L: int,
+                                          L_real: int, n_rows: jax.Array):
+    """Mask-free variant of extract_canonical_kmers_packed for inputs with
+    no N/invalid bases in the real region (native packer's
+    real_has_invalid == False): validity is exactly the row bound
+    (row < n_rows) plus the static column bound (window fits in the
+    first L_real columns), so the 1-bit-per-base mask never crosses the
+    host->device link (it is ~1/3 of the packed wire bytes).
+
+    L is the padded (8-aligned) width the packed buffer encodes; L_real
+    the true read length — pad columns decode as code 0 and are excluded
+    by the bound, matching the masked path bit-for-bit (CI-compared)."""
+    B = packed.shape[0]
+    p = packed.astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    codes4 = (p[:, :, None] >> shifts[None, None, :]) & 3
+    codes = codes4.reshape(B, -1)[:, :L]
+    ch, cl = extract_canonical_kmers(codes, k)
+    nwin = L - k + 1
+    if nwin <= 0:
+        return ch, cl
+    idx = jnp.arange(B * nwin, dtype=jnp.int32)
+    row = idx // nwin
+    t = idx % nwin
+    bad = (row >= jnp.asarray(n_rows, jnp.int32)) | (t + k > L_real)
+    ch = jnp.where(bad, SENTINEL, ch)
+    cl = jnp.where(bad, SENTINEL, cl)
+    return ch, cl
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

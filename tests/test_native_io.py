@@ -141,9 +141,10 @@ def test_native_pack_codes_matches_numpy():
         got = pack_codes_native(codes)
         assert got is not None
         ep, ei = _pack_codes_numpy(codes)
-        gp, gi = got
+        gp, gi, has_inv = got
         assert gp.shape == ep.shape and (gp == ep).all()
         assert gi.shape == ei.shape and (gi == ei).all()
+        assert has_inv == bool((codes >= 4).any())
 
 
 def test_native_pack_codes_padded_matches_numpy():
@@ -161,6 +162,36 @@ def test_native_pack_codes_padded_matches_numpy():
         buf = np.full((Bo, Lo), 4, dtype=np.uint8)
         buf[:B, :L] = codes
         ep, ei = _pack_codes_numpy(buf)
-        gp, gi = got
+        gp, gi, _ = got
         assert gp.shape == ep.shape and (gp == ep).all()
         assert gi.shape == ei.shape and (gi == ei).all()
+
+
+def test_extract_packed_nomask_matches_masked():
+    import numpy as np
+    import jax.numpy as jnp
+    from genome_tpu.io.native.cio import native_available, pack_codes_native
+    from genome_tpu.kernels.extract import (
+        extract_canonical_kmers_packed, extract_canonical_kmers_packed_nomask,
+        _pack_codes_numpy)
+    if not native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(13)
+    k = 11
+    for B, L, Bo, Lo in [(17, 30, 32, 32), (5, 21, 5, 24), (9, 100, 16, 104)]:
+        codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)  # no Ns
+        packed, invalid, has_inv = pack_codes_native(codes, L_out=Lo,
+                                                     rows_out=Bo)
+        assert not has_inv
+        mh, ml = extract_canonical_kmers_packed(
+            jnp.asarray(packed), jnp.asarray(invalid), k, Lo)
+        nh, nl = extract_canonical_kmers_packed_nomask(
+            jnp.asarray(packed), k, Lo, L, jnp.int32(B))
+        assert (np.asarray(mh) == np.asarray(nh)).all()
+        assert (np.asarray(ml) == np.asarray(nl)).all()
+    # with Ns the flag must trip (pipeline then uses the masked path)
+    codes = rng.integers(0, 5, size=(8, 40), dtype=np.uint8)
+    codes[3, 7] = 4
+    _, _, has_inv = pack_codes_native(codes, L_out=40, rows_out=8)
+    assert has_inv
