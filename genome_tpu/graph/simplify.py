@@ -714,6 +714,55 @@ def _rank_rulers(next_u, prev_u):
     return head, dist, ok
 
 
+_P1_ROUNDS = 12  # covers ruler gaps <= 4096; P(gap > 4096) ~ n2*(15/16)^4096
+
+
+def _rank_rulers_unrolled(next_u, prev_u):
+    """_rank_rulers with both doubling phases UNROLLED to fixed round
+    counts (no lax.while_loop): the loop-carried q[q] gathers inside
+    while_loop run at ~half the standalone gather rate (PLAN.md simplify
+    decomposition), and each round's convergence reduction adds a
+    dependency. Fixed rounds let XLA software-pipeline the gather chain.
+
+    Phase 1 runs _P1_ROUNDS rounds; insufficiency (a ruler gap > 2^rounds,
+    probability ~ n2 * (15/16)^4096 ~ 0, or a ruler-free cycle) is caught
+    by the same ok checks and falls back to the dense path — semantics
+    identical to _rank_rulers."""
+    n2 = next_u.shape[0]
+    ids = jnp.arange(n2, dtype=I32)
+    mask = I32(RULER_STRIDE - 1)
+
+    p = jnp.where(prev_u >= 0, prev_u, ids)
+    d = jnp.where(prev_u >= 0, 1, 0).astype(I32)
+    for _ in range(_P1_ROUNDS):
+        pg = p[p]
+        dg = d[p]
+        adv = (p & mask) != 0
+        d = d + jnp.where(adv, dg, 0)
+        p = jnp.where(adv, pg, p)
+    p1_ok = ~(((p & mask) != 0) & (p[p] != p)).any()
+
+    rp = p[::RULER_STRIDE]
+    rd = d[::RULER_STRIDE]
+    r_rounds = max(1, (rp.shape[0] - 1).bit_length() + 1)
+    for _ in range(r_rounds):
+        j = jnp.clip(rp // RULER_STRIDE, 0, rp.shape[0] - 1)
+        pg = rp[j]
+        dg = rd[j]
+        adv = (rp & mask) == 0
+        rd = rd + jnp.where(adv, dg, 0)
+        rp = jnp.where(adv, pg, rp)
+    j = jnp.clip(rp // RULER_STRIDE, 0, rp.shape[0] - 1)
+    p2_ok = ~(((rp & mask) == 0) & (rp[j] != rp)).any()
+
+    a_rul = (p & mask) == 0
+    aj = jnp.clip(p // RULER_STRIDE, 0, rp.shape[0] - 1)
+    head = jnp.where(a_rul, rp[aj], p)
+    dist = d + jnp.where(a_rul, rd[aj], 0)
+    ok = p1_ok & p2_ok & ~(prev_u[jnp.clip(head, 0, n2 - 1)] >= 0).any()
+    return head, dist, ok
+
+
 @jax.jit
 def _final_chain_state_links(succ, okv_hi, okv_lo, counts, alive,
                              valid_node, next_u, prev_u):

@@ -102,3 +102,26 @@ def test_final_state_matches_dense_oracle():
         assert (np.asarray(fs["head"]) == np.asarray(st["head"])).all()
         assert (np.asarray(fs["dist"]) == np.asarray(st["dist"])).all()
         assert (np.asarray(fs["primary"]) == np.asarray(primary)).all()
+
+
+@pytest.mark.parametrize("seed,n,chains", [(0, 50, 1), (1, 300, 7),
+                                           (2, 1000, 40), (3, 64, 64)])
+def test_unrolled_rank_matches_walk(seed, n, chains):
+    from genome_tpu.graph.simplify import _rank_rulers_unrolled
+    rng = np.random.default_rng(seed)
+    next_u, prev_u = _random_chain_graph(rng, n, chains)
+    head, dist, ok = _rank_rulers_unrolled(next_u, prev_u)
+    eh, ed = _dense_rank(next_u, prev_u)
+    assert bool(ok)
+    sel = np.asarray(prev_u) >= 0
+    sel |= np.asarray(next_u) >= 0
+    assert (np.asarray(head)[sel] == eh[sel]).all()
+    assert (np.asarray(dist)[sel] == ed[sel]).all()
+
+
+def test_unrolled_rank_detects_cycle():
+    from genome_tpu.graph.simplify import _rank_rulers_unrolled
+    rng = np.random.default_rng(5)
+    next_u, prev_u = _random_chain_graph(rng, 200, 4, with_cycle=True)
+    _, _, ok = _rank_rulers_unrolled(next_u, prev_u)
+    assert not bool(ok)
