@@ -644,20 +644,17 @@ def run_pass_inc(kind: str, succ, okv_hi, okv_lo, counts, alive, valid_node,
 RULER_STRIDE = 16  # power of two; gap tail ~ STRIDE * ln(n2)
 
 
-def _rank_rulers(next_u, prev_u):
-    """(head, dist, ok) via ruler ranking; ok=False iff a cycle was seen
-    (caller falls back to the dense path, which breaks cycles)."""
-    n2 = next_u.shape[0]
-    ids = jnp.arange(n2, dtype=I32)
-    rounds = max(1, (n2 - 1).bit_length() + 1)
-    mask = I32(RULER_STRIDE - 1)
+_D_BITS = 8          # phase-1 packed distance field; saturates at 255
+_P_MASK = (1 << 24) - 1
 
+
+def _phase1_unpacked(prev_u, rounds: int, mask):
+    """Phase-1 doubling on separate (p, d) arrays (2 gathers/round)."""
+    n2 = prev_u.shape[0]
+    ids = jnp.arange(n2, dtype=I32)
     p0 = jnp.where(prev_u >= 0, prev_u, ids)
     d0 = jnp.where(prev_u >= 0, 1, 0).astype(I32)
 
-    # phase 1: double until every pointer rests on a ruler or a head.
-    # Heads are natural fixpoints (p[h] = h), so only rulers need the
-    # freeze test — one AND against the id bits, no extra gather.
     def p1_cond(c):
         _, _, i, changed = c
         return (i < rounds) & changed
@@ -672,8 +669,127 @@ def _rank_rulers(next_u, prev_u):
         changed = (adv & (pg != p)).any()
         return p2, d2, i + 1, changed
 
-    p, d, it, _ = jax.lax.while_loop(
+    p, d, _, _ = jax.lax.while_loop(
         p1_cond, p1_body, (p0, d0, jnp.int32(0), jnp.bool_(True)))
+    return p, d
+
+
+def _phase1_packed(prev_u, rounds: int, mask):
+    """Phase-1 doubling with (p, d) PACKED into one uint32 (p in bits
+    [0,24), d saturating at 2^8-1 in [24,32)): ONE gather per round
+    instead of two — the doubling gathers are the final phase's measured
+    wall. Returns (p, d, exact): d values below the saturation cap are
+    exact (saturation is monotone — a clamped ancestor distance can only
+    clamp the dependent sums); exact=False when any d hit the cap and the
+    caller must redo phase 1 unpacked. Caller guarantees n2 < 2^24."""
+    n2 = prev_u.shape[0]
+    ids = jnp.arange(n2, dtype=I32)
+    sat = U32((1 << _D_BITS) - 1)
+    pm = U32(_P_MASK)
+    p0 = jnp.where(prev_u >= 0, prev_u, ids).astype(U32)
+    d0 = jnp.where(prev_u >= 0, U32(1), U32(0))
+    x0 = p0 | (d0 << U32(24))
+    umask = U32(RULER_STRIDE - 1)
+
+    def p1_cond(c):
+        _, i, changed = c
+        return (i < rounds) & changed
+
+    def p1_body(c):
+        x, i, _ = c
+        p = x & pm
+        g = x[p]
+        pg = g & pm
+        dg = g >> U32(24)
+        d2 = jnp.minimum((x >> U32(24)) + dg, sat)
+        adv = (p & umask) != 0
+        x2 = jnp.where(adv, pg | (d2 << U32(24)), x)
+        changed = (adv & (pg != p)).any()
+        return x2, i + 1, changed
+
+    x, _, _ = jax.lax.while_loop(
+        p1_cond, p1_body, (x0, jnp.int32(0), jnp.bool_(True)))
+    p = (x & pm).astype(I32)
+    d = (x >> U32(24)).astype(I32)
+    return p, d
+
+
+_SAT_K = 4096       # fix-up buffer for saturated-distance nodes
+_SAT_STEPS = 1 << 14
+
+
+def _phase1_sat_fixup(prev_u, p, d):
+    """Exact (p, d) for the nodes whose packed phase-1 distance saturated
+    (expected O(1) nodes: a ruler gap > 255 occurs ~n2*(15/16)^255 times
+    per run). Walks prev links sequentially on a _SAT_K-compacted buffer
+    — tiny arrays, bounded steps. Returns (p2, d2, ok); ok=False when
+    the buffer overflows or a walk failed to freeze (caller then redoes
+    phase 1 unpacked)."""
+    n2 = prev_u.shape[0]
+    sat_v = d == (1 << _D_BITS) - 1
+    n_sat = sat_v.sum(dtype=I32)
+    idsn = jnp.arange(n2, dtype=I32)
+    dest = jnp.cumsum(sat_v.astype(I32)) - 1
+    scat = jnp.where(sat_v & (dest < _SAT_K), dest, _SAT_K)
+    vids = jnp.full((_SAT_K,), -1, I32).at[scat].set(idsn, mode="drop")
+    real = jnp.arange(_SAT_K, dtype=I32) < jnp.minimum(n_sat, _SAT_K)
+    umask = I32(RULER_STRIDE - 1)
+
+    v0 = jnp.where(real, vids, 0)
+    cur0 = prev_u[v0]          # saturated => prev >= 0
+    dd0 = jnp.where(real, 1, 0).astype(I32)
+
+    def w_cond(c):
+        cur, dd, i, moving = c
+        return (i < _SAT_STEPS) & moving
+
+    def w_body(c):
+        cur, dd, i, _ = c
+        curc = jnp.clip(cur, 0, n2 - 1)
+        frozen = ((cur & umask) == 0) | (prev_u[curc] < 0) | ~real
+        nxt = jnp.where(frozen, cur, prev_u[curc])
+        dd2 = dd + jnp.where(frozen, 0, 1)
+        return nxt, dd2, i + 1, (~frozen).any()
+
+    cur, dd, _, _ = jax.lax.while_loop(
+        w_cond, w_body, (cur0, dd0, jnp.int32(0), jnp.bool_(True)))
+    curc = jnp.clip(cur, 0, n2 - 1)
+    frozen_all = (((cur & umask) == 0) | (prev_u[curc] < 0) | ~real).all()
+    ok = (n_sat <= _SAT_K) & frozen_all
+    tgt = jnp.where(real, v0, n2)
+    p2 = p.at[tgt].set(cur, mode="drop")
+    d2 = d.at[tgt].set(dd, mode="drop")
+    return p2, d2, ok
+
+
+def _rank_rulers(next_u, prev_u):
+    """(head, dist, ok) via ruler ranking; ok=False iff a cycle was seen
+    (caller falls back to the dense path, which breaks cycles)."""
+    n2 = next_u.shape[0]
+    ids = jnp.arange(n2, dtype=I32)
+    rounds = max(1, (n2 - 1).bit_length() + 1)
+    mask = I32(RULER_STRIDE - 1)
+
+    # phase 1: double until every pointer rests on a ruler or a head.
+    # Heads are natural fixpoints (p[h] = h), so only rulers need the
+    # freeze test — one AND against the id bits, no extra gather.
+    # Packed single-gather variant when ids fit 24 bits; the rare
+    # saturated-distance case redoes it unpacked (lax.cond: only the
+    # taken branch executes).
+    if n2 < (1 << 24):
+        pp, dp = _phase1_packed(prev_u, rounds, mask)
+        any_sat = (dp == (1 << _D_BITS) - 1).any()
+
+        def with_fixup(_):
+            pf, df, fok = _phase1_sat_fixup(prev_u, pp, dp)
+            return jax.lax.cond(
+                fok, lambda __: (pf, df),
+                lambda __: _phase1_unpacked(prev_u, rounds, mask), None)
+
+        p, d = jax.lax.cond(any_sat, with_fixup,
+                            lambda _: (pp, dp), None)
+    else:
+        p, d = _phase1_unpacked(prev_u, rounds, mask)
     # non-convergence at the round bound => a ruler-free cycle exists
     p1_ok = ~(((p & mask) != 0) & (p[p] != p)).any()
 

@@ -125,3 +125,27 @@ def test_unrolled_rank_detects_cycle():
     next_u, prev_u = _random_chain_graph(rng, 200, 4, with_cycle=True)
     _, _, ok = _rank_rulers_unrolled(next_u, prev_u)
     assert not bool(ok)
+
+
+def test_ruler_rank_saturated_gap_exact():
+    """A chain with 400+ consecutive non-ruler ids saturates the packed
+    8-bit phase-1 distance; the walk fix-up must restore exact (head,
+    dist) (graph/simplify.py _phase1_sat_fixup)."""
+    n_nodes = 4000
+    n2 = 2 * n_nodes
+    # chain over even oriented ids 2*i with i % 8 != 0 (never a ruler):
+    ids = [2 * i for i in range(1, n_nodes) if i % 8][:420]
+    next_u = np.full(n2, -1, np.int32)
+    for a, b in zip(ids[:-1], ids[1:]):
+        next_u[a] = b
+    prev_u = np.full(n2, -1, np.int32)
+    for v in range(n2):
+        if next_u[v] >= 0:
+            prev_u[next_u[v]] = v
+    head, dist, ok = _rank_rulers(jnp.asarray(next_u), jnp.asarray(prev_u))
+    eh, ed = _dense_rank(jnp.asarray(next_u), jnp.asarray(prev_u))
+    assert bool(ok)
+    sel = (prev_u >= 0) | (next_u >= 0)
+    assert (np.asarray(head)[sel] == eh[sel]).all()
+    assert (np.asarray(dist)[sel] == ed[sel]).all()
+    assert ed[sel].max() >= 300  # the fixture really exceeds the 8-bit cap
