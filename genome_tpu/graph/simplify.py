@@ -642,6 +642,8 @@ def run_pass_inc(kind: str, succ, okv_hi, okv_lo, counts, alive, valid_node,
 # ---------------------------------------------------------------------------
 
 RULER_STRIDE = 16  # power of two; gap tail ~ STRIDE * ln(n2)
+_TAIL_M = 1 << 18  # compacted chain-tail buffer (chains << nodes after
+                   # simplify; error-survivor islands add ~1e4 at E. coli)
 
 
 _D_BITS = 8          # phase-1 packed distance field; saturates at 255
@@ -894,15 +896,41 @@ def _final_chain_state_links(succ, okv_hi, okv_lo, counts, alive,
         head = jnp.where(alive_o, head_r, -1)
         dist = jnp.where(alive_o, dist_r, 0)
         is_head = alive_o & (head == ids)
-        seg = jnp.where(alive_o, head, n2)
         is_tail = alive_o & (next_u == -1)
-        tail_of = jnp.full(n2, -1, dtype=I32).at[
-            jnp.where(is_tail, seg, n2)].set(ids, mode="drop")
-        tail_c = jnp.clip(tail_of, 0, None)
-        twin_hi = jnp.where(tail_of >= 0, okv_hi[tail_c ^ 1], U32(0xFFFFFFFF))
-        twin_lo = jnp.where(tail_of >= 0, okv_lo[tail_c ^ 1], U32(0xFFFFFFFF))
-        primary = is_head & u64.le(okv_hi[ids], okv_lo[ids],
-                                   twin_hi, twin_lo)
+        # twin values are needed only AT the heads, and #chains << n2
+        # after simplification: compact the tail ids (one chain each) and
+        # scatter okv(rc(tail)) to each tail's head — tiny gathers and
+        # one tiny scatter replace a full-size scatter + two full-size
+        # okv gathers. Tail overflow (> _TAIL_M chains) falls back to the
+        # full-size computation inside this same branch.
+        from genome_tpu.kernels.compact import compact_ids
+        tails, _n_t, tovf = compact_ids(is_tail, _TAIL_M)
+        treal = jnp.arange(_TAIL_M, dtype=I32) < jnp.minimum(_n_t, _TAIL_M)
+        tc = jnp.clip(jnp.where(treal, tails, 0), 0, n2 - 1)
+        t_head = jnp.where(treal, head[tc], n2)
+        tw_hi = okv_hi[tc ^ 1]
+        tw_lo = okv_lo[tc ^ 1]
+
+        def sparse_twin(_):
+            th = jnp.full(n2, 0xFFFFFFFF, dtype=U32).at[t_head].set(
+                tw_hi, mode="drop")
+            tl = jnp.full(n2, 0xFFFFFFFF, dtype=U32).at[t_head].set(
+                tw_lo, mode="drop")
+            return th, tl
+
+        def full_twin(_):
+            seg = jnp.where(alive_o, head, n2)
+            tail_of = jnp.full(n2, -1, dtype=I32).at[
+                jnp.where(is_tail, seg, n2)].set(ids, mode="drop")
+            tail_c = jnp.clip(tail_of, 0, None)
+            th = jnp.where(tail_of >= 0, okv_hi[tail_c ^ 1],
+                           U32(0xFFFFFFFF))
+            tl = jnp.where(tail_of >= 0, okv_lo[tail_c ^ 1],
+                           U32(0xFFFFFFFF))
+            return th, tl
+
+        twin_hi, twin_lo = jax.lax.cond(tovf, full_twin, sparse_twin, None)
+        primary = is_head & u64.le(okv_hi, okv_lo, twin_hi, twin_lo)
         return head, dist, primary
 
     def dense(_):
