@@ -236,13 +236,14 @@ def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
     bubble_len = jnp.int32(params.bubble_len_eff)
     links = None
     deg = None
+    lc = None
     for rnd in range(params.max_rounds):
-        alive, c1, _l1, deg = run_pass_inc(
+        alive, c1, _l1, deg, lc = run_pass_inc(
             "tips", succ, okv_hi, okv_lo, counts, alive, valid_node,
-            tip_len, params.tip_len_eff, deg)
-        alive, c2, l2, deg = run_pass_inc(
+            tip_len, params.tip_len_eff, deg, lc)
+        alive, c2, l2, deg, lc = run_pass_inc(
             "bubbles", succ, okv_hi, okv_lo, counts, alive, valid_node,
-            bubble_len, params.bubble_len_eff, deg)
+            bubble_len, params.bubble_len_eff, deg, lc)
         changed = bool(c1) or bool(c2)
         if metrics:
             metrics.log("simplify_round", round=rnd, tips=bool(c1),

@@ -338,10 +338,9 @@ def _kill_paths(alive, path, doomed_m):
 
 
 def _tips_body(succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg,
-               usucc, tip_len, L: int, M: int):
+               usucc, next_u, prev_u, tip_len, L: int, M: int):
     capacity = alive.shape[0]
     n2 = 2 * capacity
-    next_u, prev_u = _links(outdeg, usucc)
     alive_o = jnp.repeat(alive & valid_node, 2)
     is_head = alive_o & (prev_u < 0)
     heads, n_heads, ovf = _compact_ids(is_head, M)
@@ -362,16 +361,16 @@ def _clip_tips_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
                     tip_len, L: int, M: int):
     alive_o = jnp.repeat(alive & valid_node, 2)
     outdeg, usucc = _degrees(succ, alive_o)
+    next_u, prev_u = _links(outdeg, usucc)
     r = _tips_body(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                   outdeg, usucc, tip_len, L, M)
+                   outdeg, usucc, next_u, prev_u, tip_len, L, M)
     return r[:5]
 
 
 def _bubbles_body(succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg,
-                  usucc, bubble_len, L: int, M: int):
+                  usucc, next_u, prev_u, bubble_len, L: int, M: int):
     capacity = alive.shape[0]
     n2 = 2 * capacity
-    next_u, prev_u = _links(outdeg, usucc)
     alive_o = jnp.repeat(alive & valid_node, 2)
     is_head = alive_o & (prev_u < 0)
     heads, n_heads, ovf = _compact_ids(is_head, M)
@@ -425,8 +424,9 @@ def _pop_bubbles_walk(succ, okv_hi, okv_lo, counts, alive, valid_node,
                       bubble_len, L: int, M: int):
     alive_o = jnp.repeat(alive & valid_node, 2)
     outdeg, usucc = _degrees(succ, alive_o)
+    next_u, prev_u = _links(outdeg, usucc)
     r = _bubbles_body(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                      outdeg, usucc, bubble_len, L, M)
+                      outdeg, usucc, next_u, prev_u, bubble_len, L, M)
     return r[:5]
 
 
@@ -524,11 +524,21 @@ def _compact_vals(flags, vals, M: int):
 
 
 def _update_degrees(succ, alive2, valid_node, path, doomed_m, outdeg, usucc,
-                    Mk: int):
-    """(outdeg, usucc) for alive2, given their values for the pre-kill
-    alive and the pass's kill set (doomed walk paths). Exactly equal to
-    the dense recompute; kovf set when kills exceed Mk (results then
-    unusable — caller recomputes densely)."""
+                    next_u, Mk: int):
+    """(outdeg, usucc, next_u, prev_u) for alive2, given their values for
+    the pre-kill alive and the pass's kill set (doomed walk paths).
+    Exactly equal to the dense recompute; kovf set when kills exceed Mk
+    (results then unusable — caller recomputes densely), lovf when the
+    link-affected set exceeds its buffer (links then unusable, degrees
+    still good).
+
+    Link rule: next[v] = usucc[v] iff outdeg[v]==1 and
+    outdeg[usucc[v]^1]==1 (_links). Its inputs change only at A = tgt
+    (in-neighbors of killed, both orientations) + dead rows, or for v
+    with usucc[v]^1 in A — and such v satisfy v in rc(succ(A)) by RC
+    edge symmetry (v -> b^1 exists iff b -> v^1 exists), so recomputing
+    next over A + rc(succ(A)) and deriving prev by the pairswap identity
+    reproduces _links exactly without its full-size gather."""
     n2 = succ.shape[0]
     kill = doomed_m[None, :] & (path >= 0)
     canon = jnp.where(kill, path >> 1, 0).reshape(-1).astype(I32)
@@ -565,7 +575,25 @@ def _update_degrees(succ, alive2, valid_node, path, doomed_m, outdeg, usucc,
     new_us = jnp.where(at_, su, -1).max(axis=2)
     usucc2 = usucc.at[tgt.reshape(-1)].set(new_us.reshape(-1), mode="drop")
     usucc2 = usucc2.at[dead.reshape(-1)].set(-1, mode="drop")
-    return outdeg2, usucc2, kovf
+
+    # ---- incremental next/prev links (docstring rule) ----
+    M2 = 2 * Mk
+    aff0 = jnp.concatenate([tgt.reshape(-1), dead.reshape(-1)])
+    ac, n_aff, lovf = _compact_vals(aff0 < n2, aff0, M2)
+    areal = jnp.arange(M2, dtype=I32) < jnp.minimum(n_aff, M2)
+    acc = jnp.clip(jnp.where(areal, ac, 0), 0, n2 - 1)
+    sa = succ[acc]                                   # [M2, 4]
+    cand = jnp.where((sa >= 0) & areal[:, None], sa ^ 1, n2)
+    aff = jnp.concatenate([jnp.where(areal, acc, n2), cand.reshape(-1)])
+    affc = jnp.clip(aff, 0, n2 - 1)
+    wl = usucc2[affc]
+    wlc = jnp.clip(wl ^ 1, 0, n2 - 1)
+    okl = (outdeg2[affc] == 1) & (wl >= 0) & (outdeg2[wlc] == 1)
+    nval = jnp.where(okl, wl, -1)
+    next2 = next_u.at[jnp.where(aff < n2, aff, n2)].set(nval, mode="drop")
+    nx = _pairswap(next2)
+    prev2 = jnp.where(nx >= 0, nx ^ 1, -1)
+    return outdeg2, usucc2, next2, prev2, kovf, lovf
 
 
 @jax.jit
@@ -576,53 +604,66 @@ def _degrees_jit(succ, alive, valid_node):
 
 @functools.partial(jax.jit, static_argnames=("L", "M", "Mk"))
 def _clip_tips_walk_inc(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                        outdeg, usucc, tip_len, L: int, M: int, Mk: int):
+                        outdeg, usucc, next_u, prev_u, tip_len, L: int,
+                        M: int, Mk: int):
     alive2, changed, ovf, nx, pv, path, doomed = _tips_body(
         succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg, usucc,
-        tip_len, L, M)
-    od2, us2, kovf = _update_degrees(succ, alive2, valid_node, path, doomed,
-                                     outdeg, usucc, Mk)
-    return alive2, changed, ovf, nx, pv, od2, us2, kovf
+        next_u, prev_u, tip_len, L, M)
+    od2, us2, nx2, pv2, kovf, lovf = _update_degrees(
+        succ, alive2, valid_node, path, doomed, outdeg, usucc, next_u, Mk)
+    return alive2, changed, ovf, od2, us2, nx2, pv2, kovf, lovf
 
 
 @functools.partial(jax.jit, static_argnames=("L", "M", "Mk"))
 def _pop_bubbles_walk_inc(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                          outdeg, usucc, bubble_len, L: int, M: int,
-                          Mk: int):
+                          outdeg, usucc, next_u, prev_u, bubble_len,
+                          L: int, M: int, Mk: int):
     alive2, changed, ovf, nx, pv, path, doomed = _bubbles_body(
         succ, okv_hi, okv_lo, counts, alive, valid_node, outdeg, usucc,
-        bubble_len, L, M)
-    od2, us2, kovf = _update_degrees(succ, alive2, valid_node, path, doomed,
-                                     outdeg, usucc, Mk)
-    return alive2, changed, ovf, nx, pv, od2, us2, kovf
+        next_u, prev_u, bubble_len, L, M)
+    od2, us2, nx2, pv2, kovf, lovf = _update_degrees(
+        succ, alive2, valid_node, path, doomed, outdeg, usucc, next_u, Mk)
+    return alive2, changed, ovf, od2, us2, nx2, pv2, kovf, lovf
+
+
+@jax.jit
+def _links_jit(outdeg, usucc):
+    return _links(outdeg, usucc)
 
 
 def run_pass_inc(kind: str, succ, okv_hi, okv_lo, counts, alive, valid_node,
-                 threshold, max_len: int, deg, walk_m=_WALK_M):
-    """One tip/bubble pass with carried degrees.
+                 threshold, max_len: int, deg, links=None, walk_m=_WALK_M):
+    """One tip/bubble pass with carried degrees AND links.
 
     deg: (outdeg, usucc) matching `alive`, or None (computed here).
-    Returns (alive2, changed, links_or_None, deg2_or_None): deg2 matches
-    alive2 unless the kill set overflowed _KILL_M or the dense fallback
-    ran (then None — next pass recomputes); links as in clip_tips_pass.
+    links: (next_u, prev_u) matching `alive`, or None (computed here) —
+    carrying them across passes skips _links' full-size gather per pass.
+    Returns (alive2, changed, links_prekill_or_None, deg2_or_None,
+    links2_or_None): the pre-kill links are valid for the post state
+    only when changed is False (final_chain_state handover); deg2/links2
+    match alive2 unless their update buffers overflowed or the dense
+    fallback ran (then None — next pass recomputes).
     """
     walk = _clip_tips_walk_inc if kind == "tips" else _pop_bubbles_walk_inc
     dense = (clip_tips_pass_dense if kind == "tips"
              else pop_bubbles_pass_dense)
     if deg is None:
         deg = _degrees_jit(succ, alive, valid_node)
+    if links is None:
+        links = _links_jit(deg[0], deg[1])
     for M in walk_m:
-        alive2, changed, ovf, nx, pv, od2, us2, kovf = walk(
+        alive2, changed, ovf, od2, us2, nx2, pv2, kovf, lovf = walk(
             succ, okv_hi, okv_lo, counts, alive, valid_node, deg[0], deg[1],
-            threshold, L=int(max_len), M=M, Mk=_KILL_M)
+            links[0], links[1], threshold, L=int(max_len), M=M, Mk=_KILL_M)
         if bool(ovf):
             continue
         if bool(kovf):
-            return alive2, changed, (nx, pv), None
-        return alive2, changed, (nx, pv), (od2, us2)
+            return alive2, changed, links, None, None
+        links2 = None if bool(lovf) else (nx2, pv2)
+        return alive2, changed, links, (od2, us2), links2
     a2, ch = dense(succ, okv_hi, okv_lo, counts, alive, valid_node,
                    threshold, max_len)
-    return a2, ch, None, None
+    return a2, ch, None, None, None
 
 
 
@@ -983,13 +1024,14 @@ def simplify_device(succ, okv_hi, okv_lo, counts, alive, valid_node, params,
     bubble_len = jnp.int32(params.bubble_len_eff)
     links = None
     deg = None
+    lc = None
     for _ in range(params.max_rounds):
-        alive, c1, _l1, deg = run_pass_inc(
+        alive, c1, _l1, deg, lc = run_pass_inc(
             "tips", succ, okv_hi, okv_lo, counts, alive, valid_node,
-            tip_len, params.tip_len_eff, deg)
-        alive, c2, l2, deg = run_pass_inc(
+            tip_len, params.tip_len_eff, deg, lc)
+        alive, c2, l2, deg, lc = run_pass_inc(
             "bubbles", succ, okv_hi, okv_lo, counts, alive, valid_node,
-            bubble_len, params.bubble_len_eff, deg)
+            bubble_len, params.bubble_len_eff, deg, lc)
         if not (bool(c1) or bool(c2)):
             links = l2  # computed on the final alive; no kills after
             break

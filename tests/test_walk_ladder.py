@@ -99,11 +99,11 @@ def test_full_simplify_fixpoint_ladder_invariant():
     assert np.array_equal(np.asarray(a), np.asarray(ref))
 
 
-def test_incremental_degrees_match_dense():
-    """run_pass_inc's carried (outdeg, usucc) == dense recompute after
-    every pass (dead rows included: outdeg 0, usucc -1)."""
+def test_incremental_degrees_and_links_match_dense():
+    """run_pass_inc's carried (outdeg, usucc) AND (next_u, prev_u) ==
+    dense recompute after every pass (dead rows included)."""
     import jax.numpy as jnp
-    from genome_tpu.graph.simplify import (_degrees, _degrees_jit,
+    from genome_tpu.graph.simplify import (_degrees_jit, _links_jit,
                                            run_pass_inc)
 
     succ, okh, okl, cnt, alive, valid, params = _graph(seed=29, glen=1800,
@@ -111,17 +111,24 @@ def test_incremental_degrees_match_dense():
     tip_len = jnp.int32(params.tip_len_eff)
     bub_len = jnp.int32(params.bubble_len_eff)
     deg = None
+    lc = None
     for rnd in range(6):
         for kind, thr, ml in [("tips", tip_len, params.tip_len_eff),
                               ("bubbles", bub_len, params.bubble_len_eff)]:
-            alive, ch, _links, deg = run_pass_inc(
-                kind, succ, okh, okl, cnt, alive, valid, thr, ml, deg)
+            alive, ch, _links, deg, lc = run_pass_inc(
+                kind, succ, okh, okl, cnt, alive, valid, thr, ml, deg, lc)
             assert deg is not None, "kill overflow unexpected at this scale"
+            assert lc is not None, "link overflow unexpected at this scale"
             od_d, us_d = _degrees_jit(succ, alive, valid)
             assert np.array_equal(np.asarray(deg[0]), np.asarray(od_d)), \
                 (rnd, kind, "outdeg")
             assert np.array_equal(np.asarray(deg[1]), np.asarray(us_d)), \
                 (rnd, kind, "usucc")
+            nx_d, pv_d = _links_jit(od_d, us_d)
+            assert np.array_equal(np.asarray(lc[0]), np.asarray(nx_d)), \
+                (rnd, kind, "next_u")
+            assert np.array_equal(np.asarray(lc[1]), np.asarray(pv_d)), \
+                (rnd, kind, "prev_u")
         if not bool(ch):
             break
 
