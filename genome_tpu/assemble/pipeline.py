@@ -247,7 +247,8 @@ def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
         changed = bool(c1) or bool(c2)
         if metrics:
             metrics.log("simplify_round", round=rnd, tips=bool(c1),
-                        bubbles=bool(c2), alive=int(alive.sum()))
+                        bubbles=bool(c2),
+                        alive=int((alive & valid_node).sum()))
         if not changed:
             links = l2
             break
