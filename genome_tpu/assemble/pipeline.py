@@ -174,9 +174,14 @@ def count_reads(reads, params: AssemblyParams,
             from genome_tpu.kernels.sort_bucket import count_kmers_bucket
             count_fn = _ft.partial(count_kmers_bucket, k=params.k, seg=seg)
         res = count_fn(hi, lo, params.min_coverage, cap)
-        if not bool(res["overflow"]):
+        # one host roundtrip for both scalars (each fetch costs ~25 ms
+        # relay latency ON TOP of syncing the whole count)
+        ovf_n = np.asarray(jnp.stack([res["overflow"].astype(jnp.int32),
+                                      res["n_unique"]]))
+        if not int(ovf_n[0]):
             res = dict(res)
             res["n_windows"] = n_windows
+            res["n_unique_host"] = int(ovf_n[1])
             return res
         if metrics:
             metrics.log("capacity_overflow", capacity=cap, retry=2 * cap)
@@ -284,7 +289,8 @@ def run_pipeline(reads, params: AssemblyParams,
             table_hi = jnp.asarray(saved["table_hi"])
             table_lo = jnp.asarray(saved["table_lo"])
             counts = jnp.asarray(saved["counts"])
-            n_unique = jnp.int32(int(saved["n_unique"]))
+            n_host = int(saved["n_unique"])
+            n_unique = jnp.int32(n_host)
             stats["n_windows"] = int(saved["n_windows"])
         else:
             with metrics.phase("count") as info:
@@ -294,21 +300,25 @@ def run_pipeline(reads, params: AssemblyParams,
                                   counter=counter)
                 table_hi, table_lo = res["table_hi"], res["table_lo"]
                 counts, n_unique = res["counts"], res["n_unique"]
-                jax.block_until_ready(counts)
+                # count_reads already paid the host sync for this scalar;
+                # reuse it instead of three more ~25 ms relay roundtrips
+                n_host = res.get("n_unique_host")
+                if n_host is None:
+                    n_host = int(n_unique)
                 dt = time.perf_counter() - t0
                 stats["n_windows"] = res["n_windows"]
                 info["n_windows"] = res["n_windows"]
-                info["n_unique"] = int(n_unique)
+                info["n_unique"] = n_host
                 info["kmers_per_s"] = round(res["n_windows"] / max(dt, 1e-9))
             ckpt.save("count", table_hi=table_hi, table_lo=table_lo,
-                      counts=counts, n_unique=int(n_unique),
+                      counts=counts, n_unique=n_host,
                       n_windows=stats["n_windows"])
-        stats["n_unique"] = int(n_unique)
+        stats["n_unique"] = n_host
 
         # compact the table toward n_unique before build/simplify: probe
         # and chain work scale with capacity, not real nodes. Rounded so
         # compiled shapes stay bounded (<= 8 per power-of-two decade).
-        n_int = int(n_unique)
+        n_int = n_host
         # 1/64 granularity: build sorts 4*cap2 records, so table slack is
         # the biggest build-phase cost knob (1/8 steps padded up to ~19%)
         step = max(256, 1 << max(0, n_int.bit_length() - 6))

@@ -138,22 +138,27 @@ def emit_contigs_device(final_state, okv_hi, okv_lo, k: int,
             jnp.asarray(final_state["alive_o"]),
             jnp.asarray(okv_hi), jnp.asarray(okv_lo),
             contig_cap=cap, node_primary=node_primary)
-        if not bool(ovf):
+        # one roundtrip for all three scalars (each fetch pays the relay
+        # latency on top of syncing the emission program)
+        sc = np.asarray(jnp.stack([ovf.astype(jnp.int32), n_sel, n_contigs]))
+        if not int(sc[0]):
             break
         cap *= 2
         if cap > 2 * n2:
             return emit_contigs(final_state, okv_hi, okv_lo, k,
                                 min_contig_len, node_primary)
-    n_contigs = int(n_contigs)
-    n_sel = int(n_sel)
+    n_sel, n_contigs = int(sc[1]), int(sc[2])
     if n_contigs == 0:
         return []
-    # slice on device before the transfer: only real data crosses the link
+    # slice on device before the transfer: only real data crosses the
+    # link; the three per-contig metadata arrays ride one fetch
     nw = -(-n_sel // 16)
     words = np.asarray(words[:nw])
-    starts = np.asarray(starts[:n_contigs])
-    hh = np.asarray(hh[:n_contigs]).astype(np.uint64)
-    hl = np.asarray(hl[:n_contigs]).astype(np.uint64)
+    meta = np.asarray(jnp.stack([starts[:n_contigs].astype(jnp.uint32),
+                                 hh[:n_contigs], hl[:n_contigs]]))
+    starts = meta[0].astype(np.int64)
+    hh = meta[1].astype(np.uint64)
+    hl = meta[2].astype(np.uint64)
     codes = ((words[:, None] >> (2 * np.arange(16, dtype=np.uint32)))
              & 3).astype(np.uint8).reshape(-1)
     ends = np.concatenate([starts[1:], [n_sel]])
