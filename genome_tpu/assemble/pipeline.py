@@ -243,17 +243,22 @@ def simplify_with_metrics(succ, okv_hi, okv_lo, counts, alive, valid_node,
     deg = None
     lc = None
     for rnd in range(params.max_rounds):
+        t0 = time.perf_counter()
         alive, c1, _l1, deg, lc = run_pass_inc(
             "tips", succ, okv_hi, okv_lo, counts, alive, valid_node,
             tip_len, params.tip_len_eff, deg, lc)
         alive, c2, l2, deg, lc = run_pass_inc(
             "bubbles", succ, okv_hi, okv_lo, counts, alive, valid_node,
             bubble_len, params.bubble_len_eff, deg, lc)
-        changed = bool(c1) or bool(c2)
+        # one host roundtrip per round: changed flags + alive count fetched
+        # together (was 2-3 scalar fetches at ~25 ms each on the relay)
+        c1b, c2b, n_alive = jax.device_get(
+            (c1, c2, (alive & valid_node).sum()))
+        changed = bool(c1b) or bool(c2b)
         if metrics:
-            metrics.log("simplify_round", round=rnd, tips=bool(c1),
-                        bubbles=bool(c2),
-                        alive=int((alive & valid_node).sum()))
+            metrics.log("simplify_round", round=rnd, tips=bool(c1b),
+                        bubbles=bool(c2b), alive=int(n_alive),
+                        wall_s=round(time.perf_counter() - t0, 4))
         if not changed:
             links = l2
             break

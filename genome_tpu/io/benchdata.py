@@ -15,7 +15,8 @@ import numpy as np
 
 def bench_workload(scale: float = 1.0, k: int = 21, read_len: int = 100,
                    coverage: int = 24, error_rate: float = 0.002,
-                   seed: int = 0, batch: int = 4096) -> dict:
+                   seed: int = 0, batch: int = 4096,
+                   repeats: bool = False) -> dict:
     """E. coli-scale simulated read set as uint8 code matrices.
 
     Returns dict with:
@@ -23,11 +24,20 @@ def bench_workload(scale: float = 1.0, k: int = 21, read_len: int = 100,
       err:   same reads with `error_rate` substitutions (e2e workload)
       num_reads, read_len, k, capacity, genome_len, n_windows
     Rows >= num_reads are padding (all-invalid code 4).
+
+    repeats=True plants rRNA-operon/IS-style near-identical repeats
+    (~1% of the genome; io/simulate.py plant_repeats_codes defaults)
+    BEFORE sampling reads — the realistic-graph workload. Uses its own
+    RNG stream so the legacy repeats=False byte streams (and therefore
+    every cross-round headline/parity number) are untouched.
     """
     genome_len = int(4_600_000 * scale)
     num_reads = int(genome_len * coverage / read_len)
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    if repeats:
+        from genome_tpu.io.simulate import plant_repeats_codes
+        genome = plant_repeats_codes(genome, seed=seed + 1)
     starts = rng.integers(0, genome_len - read_len + 1, size=num_reads)
     capacity = 1 << max(13, int(np.ceil(np.log2(genome_len * 1.5))))
     num_padded = ((num_reads + batch - 1) // batch) * batch
@@ -40,7 +50,7 @@ def bench_workload(scale: float = 1.0, k: int = 21, read_len: int = 100,
         (clean[:num_reads][e] + rng.integers(1, 4, nerr, dtype=np.uint8)) % 4)
     return dict(clean=clean, err=err, num_reads=num_reads,
                 read_len=read_len, k=k, capacity=capacity,
-                genome_len=genome_len,
+                genome_len=genome_len, repeats=repeats,
                 n_windows=num_reads * (read_len - k + 1))
 
 

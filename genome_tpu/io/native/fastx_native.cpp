@@ -243,7 +243,8 @@ namespace {
 // L read as invalid/pad (code 4), matching the numpy reference.
 // *any_invalid is set to 1 if any REAL (in-bounds) code is >= 4 — when it
 // stays 0 the caller can skip transferring the mask entirely and rebuild
-// validity from the row/column bounds on device.
+// validity from the row/column bounds on device. Each worker gets its own
+// any_invalid slot (OR-reduced after join) so the write is race-free.
 void pack_rows(const int8_t* codes, int64_t r0, int64_t r1, int64_t L,
                int64_t w4, int64_t w8, uint8_t* packed, uint8_t* invalid,
                int64_t* any_invalid) {
@@ -275,7 +276,7 @@ void pack_rows(const int8_t* codes, int64_t r0, int64_t r1, int64_t L,
             iv[j] = b;
         }
     }
-    if (seen) *any_invalid = 1;  // monotonic: racing writers all write 1
+    if (seen) *any_invalid = 1;
 }
 
 }  // namespace
@@ -297,15 +298,17 @@ int64_t gt_pack_codes(const int8_t* codes, int64_t rows, int64_t L,
     }
     std::vector<std::thread> workers;
     workers.reserve(static_cast<size_t>(nthreads));
+    std::vector<int64_t> seen(static_cast<size_t>(nthreads), 0);
     const int64_t per = (rows + nthreads - 1) / nthreads;
     for (int64_t t = 0; t < nthreads; ++t) {
         const int64_t r0 = t * per;
         const int64_t r1 = (r0 + per < rows) ? r0 + per : rows;
         if (r0 >= r1) break;
         workers.emplace_back(pack_rows, codes, r0, r1, L, w4, w8, packed,
-                             invalid, any_invalid);
+                             invalid, &seen[static_cast<size_t>(t)]);
     }
     for (auto& w : workers) w.join();
+    for (int64_t v : seen) *any_invalid |= (v != 0) ? 1 : 0;
     return rows;
 }
 

@@ -123,10 +123,12 @@ def extract_canonical_kmers_packed_nomask(packed: jax.Array, k: int, L: int,
     nwin = L - k + 1
     if nwin <= 0:
         return ch, cl
-    idx = jnp.arange(B * nwin, dtype=jnp.int32)
-    row = idx // nwin
-    t = idx % nwin
-    bad = (row >= jnp.asarray(n_rows, jnp.int32)) | (t + k > L_real)
+    # [B, nwin] broadcast (not a flat arange): a flat index wraps int32
+    # when B*nwin >= 2^31, silently corrupting the validity mask.
+    row = jnp.arange(B, dtype=jnp.int32)[:, None]
+    t = jnp.arange(nwin, dtype=jnp.int32)[None, :]
+    bad = ((row >= jnp.asarray(n_rows, jnp.int32))
+           | (t + k > L_real)).reshape(-1)
     ch = jnp.where(bad, SENTINEL, ch)
     cl = jnp.where(bad, SENTINEL, cl)
     return ch, cl

