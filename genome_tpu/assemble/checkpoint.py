@@ -46,7 +46,12 @@ class PhaseCheckpointer:
             os.makedirs(directory, exist_ok=True)
 
     def _manifest_path(self) -> str:
-        return os.path.join(self.dir, MANIFEST)
+        # one manifest per shard: concurrent processes of a distributed
+        # job never read-modify-write the same file (shard 0 keeps the
+        # legacy name so single-host checkpoints stay readable)
+        if self.shard == 0:
+            return os.path.join(self.dir, MANIFEST)
+        return os.path.join(self.dir, f"manifest.shard{self.shard}.json")
 
     def _load_manifest(self) -> dict:
         try:

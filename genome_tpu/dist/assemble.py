@@ -128,20 +128,13 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
         # mesh (the final chain state never materializes a global-graph
         # array on one device); only the emission tuples cross to the
         # host, where string assembly happens anyway ---
-        from genome_tpu.dist.simplify import make_sharded_final
+        from genome_tpu.dist.simplify import final_state_sharded
         with metrics.phase("dist_final_sharded") as info:
-            fovf = None
-            slack = 1.35
-            for _ in range(3):
-                final = make_sharded_final(mesh, "shard", local_cap, slack)
-                head, dist, primary, alive_o, fovf = final(
-                    succ, okv_hi, okv_lo, cnts, alive_sh, n_uni)
-                if not bool(np.asarray(fovf).any()):
-                    break
-                slack *= 2.0
-                metrics.log("dist_final_overflow_retry", slack=slack)
-            info["overflow"] = bool(np.asarray(fovf).any())
-        if not bool(np.asarray(fovf).any()):
+            head, dist, primary, alive_o, f_ovf = final_state_sharded(
+                mesh, "shard", local_cap, succ, okv_hi, okv_lo, cnts,
+                alive_sh, n_uni, metrics=metrics)
+            info["overflow"] = bool(f_ovf)
+        if not f_ovf:
             # sharded emission: blocks routed by hash(head, dist//B); no
             # device or host buffer ever holds the global chain state
             from genome_tpu.dist.emit import emit_contigs_sharded

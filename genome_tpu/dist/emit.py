@@ -204,19 +204,35 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
     order = np.lexsort((bb, bh))
     bh, bb, bc, bcodes = bh[order], bb[order], bc[order], bcodes[order]
 
-    # head k-mer join table
-    kmers = {}
+    # head k-mer join table, vectorized (sorted ids + searchsorted — the
+    # int-by-int dict build crawled on repeat-heavy/fragmented genomes)
+    pid, pkm = [], []
     for s in range(S):
         nh = int(n_heads[s])
-        for i in range(nh):
-            kmers[int(hid[s, i])] = ((int(hh[s, i]) << 32) | int(hl[s, i]))
+        if nh:
+            pid.append(hid[s, :nh])
+            pkm.append((hh[s, :nh].astype(np.uint64) << np.uint64(32))
+                       | hl[s, :nh].astype(np.uint64))
+    kid = np.concatenate(pid)
+    kkm = np.concatenate(pkm)
+    korder = np.argsort(kid, kind="stable")
+    kid, kkm = kid[korder], kkm[korder]
 
     starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
     ends = np.concatenate([starts[1:], [bh.size]])
+    # one flat base stream in (head, block) order: per-block valid
+    # prefixes masked out in a single pass, decoded to text once; each
+    # contig is then a pure string slice (no per-contig concatenate)
+    valid = np.arange(BLOCK, dtype=np.int32)[None, :] < bc[:, None]
+    flat = bcodes[valid]
+    cum = np.concatenate([[0], np.cumsum(bc)])
+    text = np.frombuffer(b"ACGT", dtype=np.uint8)[flat].tobytes().decode(
+        "ascii")
+    head_km = kkm[np.searchsorted(kid, bh[starts])]
     out: list[str] = []
-    for a, b in zip(starts, ends):
-        codes = np.concatenate([bcodes[j, : bc[j]] for j in range(a, b)])
-        seq = dna.kmer_to_str(kmers[int(bh[a])], k) + dna.decode(codes[1:])
+    for i in range(starts.size):
+        a, b = starts[i], ends[i]
+        seq = dna.kmer_to_str(int(head_km[i]), k) + text[cum[a] + 1 : cum[b]]
         c = min(seq, dna.revcomp_str(seq))
         if len(c) >= min_contig_len:
             out.append(c)

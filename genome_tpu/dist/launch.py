@@ -81,6 +81,13 @@ def main(argv=None) -> int:
     p.add_argument("--forbid-replicated", action="store_true",
                    help="fail instead of falling back to the replicated "
                         "simplify path (CI guard)")
+    p.add_argument("--checkpoint-dir", default="",
+                   help="save per-process phase artifacts (.npz per "
+                        "shard) here after count/build/simplify")
+    p.add_argument("--resume", action="store_true",
+                   help="skip phases whose per-process artifacts all "
+                        "match (params hash + shard count + content "
+                        "hash); requires --checkpoint-dir")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
@@ -104,8 +111,16 @@ def main(argv=None) -> int:
                               args.num_processes)
     ingest_s = time.perf_counter() - t_ing
     params = AssemblyParams(k=args.k, min_coverage=args.min_coverage)
+    ckpt = None
+    if args.checkpoint_dir:
+        from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+        ckpt = PhaseCheckpointer(args.checkpoint_dir, params,
+                                 shard=args.process_id,
+                                 num_shards=args.num_processes,
+                                 load_enabled=args.resume)
     contigs = assemble_multihost(
-        local, params, forbid_replicated=args.forbid_replicated)
+        local, params, forbid_replicated=args.forbid_replicated,
+        ckpt=ckpt)
 
     if args.bench:
         # second, compile-warm run is the measured one (same SPMD program;

@@ -43,7 +43,8 @@ def initialize(coordinator: str, num_processes: int, process_id: int,
 def assemble_multihost(local_reads, params: AssemblyParams | None = None,
                        local_capacity: int | None = None,
                        forbid_replicated: bool = False,
-                       phase_times: dict | None = None):
+                       phase_times: dict | None = None,
+                       ckpt=None):
     """SPMD entry: every process passes its own read shard; returns the
     full contig list on every process (written out by process 0).
 
@@ -51,7 +52,16 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
     correctness escape (CI asserts the sharded path is really taken).
     phase_times: optional dict filled with per-phase wall seconds
     (extract/count/build/simplify/final/emit) for the scaling bench.
+    ckpt: optional PhaseCheckpointer (SURVEY §5.3-§5.4 distributed): each
+    process saves ITS shard of every phase artifact as .npz
+    (<phase>.shard<process_id>.npz); on restart a phase is skipped only
+    when EVERY process holds a matching artifact (allgathered decision —
+    deterministic SPMD control flow), and phases chain (build resumes
+    only on top of a resumed count, etc). Fault injection for CI: env
+    GENOME_TPU_CRASH_AFTER="<phase>[:<process_id>]" hard-exits that
+    process right after the phase artifact is saved.
     """
+    import os
     import time as _time
     import jax
     import jax.numpy as jnp
@@ -76,82 +86,143 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
     S = len(devs)
     mesh = Mesh(np.array(devs), ("shard",))
     n_local_dev = len(jax.local_devices())
-
-    # local extraction (DP over this host's reads)
-    t0 = _t()
-    hi, lo = extract_stream(local_reads, params.k)
-    hi, lo = np.asarray(hi), np.asarray(lo)
-    _mark("extract", t0)
-
-    # agree on the per-device stream length across processes
-    m_dev_local = -(-max(hi.size, 1) // n_local_dev)
-    m_dev = int(multihost_utils.process_allgather(
-        jnp.asarray([m_dev_local])).max())
-    lhi = np.full((n_local_dev * m_dev,), SENTINEL, dtype=np.uint32)
-    llo = np.full((n_local_dev * m_dev,), SENTINEL, dtype=np.uint32)
-    lhi[: hi.size] = hi
-    llo[: lo.size] = lo
-
     sharding = NamedSharding(mesh, P("shard"))
-    ghi = jax.make_array_from_process_local_data(sharding, lhi)
-    glo = jax.make_array_from_process_local_data(sharding, llo)
 
-    # sharded count with overflow retry (flags are global; all processes
-    # see the same decision — deterministic SPMD control flow)
-    bucket_cap = max(64, int(1.3 * m_dev / S) + 64)
-    local_cap = local_capacity or _pow2_at_least(max(64, m_dev))
-    min_cov = jnp.asarray([params.min_coverage], jnp.uint32)
-    t0 = _t()
-    while True:
-        counter = make_sharded_count(mesh, "shard", bucket_cap, local_cap)
-        th, tl, cnts, n_uni, ovf = counter(ghi, glo, min_cov)
-        if not bool(multihost_utils.process_allgather(ovf, tiled=True).any()):
-            break
-        bucket_cap *= 2
-        local_cap *= 2
-    _mark("count", t0)
+    def _local_np(garr):
+        """This process's rows of a shard-sharded global array."""
+        shards = sorted(garr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
-    query_cap = max(64, int(1.3 * 8 * local_cap / S) + 64)
-    t0 = _t()
-    while True:
-        builder = make_sharded_build(mesh, "shard", params.k, local_cap,
-                                     query_cap)
-        succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
-        if not bool(multihost_utils.process_allgather(bovf, tiled=True).any()):
-            break
-        query_cap *= 2
-    _mark("build", t0)
+    def _agreed(flag: bool) -> bool:
+        """True iff every process passes `flag` (allgathered decision)."""
+        return bool(multihost_utils.process_allgather(
+            jnp.asarray([1 if flag else 0])).min() == 1)
+
+    def _crash_hook(phase: str) -> None:
+        want = os.environ.get("GENOME_TPU_CRASH_AFTER", "")
+        if not want:
+            return
+        ph, _, pid = want.partition(":")
+        if ph == phase and (pid == "" or int(pid) == jax.process_index()):
+            os.write(2, f"[genome_tpu.dist] injected crash after "
+                        f"{phase}\n".encode())
+            os._exit(7)
+
+    # --- count phase (resume: skip extraction too — its only consumer) ---
+    ck = ckpt.load("dist_count") if ckpt is not None else None
+    if _agreed(ck is not None):
+        local_cap = int(ck["meta"][0])
+        th = jax.make_array_from_process_local_data(sharding, ck["th"])
+        tl = jax.make_array_from_process_local_data(sharding, ck["tl"])
+        cnts = jax.make_array_from_process_local_data(sharding, ck["cnts"])
+        n_uni = jax.make_array_from_process_local_data(sharding, ck["n_uni"])
+        count_resumed = True
+    else:
+        count_resumed = False
+        # local extraction (DP over this host's reads)
+        t0 = _t()
+        hi, lo = extract_stream(local_reads, params.k)
+        hi, lo = np.asarray(hi), np.asarray(lo)
+        _mark("extract", t0)
+
+        # agree on the per-device stream length across processes
+        m_dev_local = -(-max(hi.size, 1) // n_local_dev)
+        m_dev = int(multihost_utils.process_allgather(
+            jnp.asarray([m_dev_local])).max())
+        lhi = np.full((n_local_dev * m_dev,), SENTINEL, dtype=np.uint32)
+        llo = np.full((n_local_dev * m_dev,), SENTINEL, dtype=np.uint32)
+        lhi[: hi.size] = hi
+        llo[: lo.size] = lo
+
+        ghi = jax.make_array_from_process_local_data(sharding, lhi)
+        glo = jax.make_array_from_process_local_data(sharding, llo)
+
+        # sharded count with overflow retry (flags are global; all
+        # processes see the same decision — deterministic SPMD control)
+        bucket_cap = max(64, int(1.3 * m_dev / S) + 64)
+        local_cap = local_capacity or _pow2_at_least(max(64, m_dev))
+        min_cov = jnp.asarray([params.min_coverage], jnp.uint32)
+        t0 = _t()
+        while True:
+            counter = make_sharded_count(mesh, "shard", bucket_cap,
+                                         local_cap)
+            th, tl, cnts, n_uni, ovf = counter(ghi, glo, min_cov)
+            if not bool(multihost_utils.process_allgather(
+                    ovf, tiled=True).any()):
+                break
+            bucket_cap *= 2
+            local_cap *= 2
+        _mark("count", t0)
+        if ckpt is not None:
+            ckpt.save("dist_count", th=_local_np(th), tl=_local_np(tl),
+                      cnts=_local_np(cnts), n_uni=_local_np(n_uni),
+                      meta=np.asarray([local_cap], np.int64))
+            _crash_hook("dist_count")
+
+    # --- build phase (resume chains on a resumed count: the checkpoint's
+    # table layout is only known to match when both came from disk) ---
+    ck = (ckpt.load("dist_build")
+          if ckpt is not None and count_resumed else None)
+    if _agreed(ck is not None and int(ck["meta"][0]) == local_cap):
+        succ = jax.make_array_from_process_local_data(sharding, ck["succ"])
+        okv_hi = jax.make_array_from_process_local_data(sharding,
+                                                        ck["okv_hi"])
+        okv_lo = jax.make_array_from_process_local_data(sharding,
+                                                        ck["okv_lo"])
+        build_resumed = True
+    else:
+        build_resumed = False
+        query_cap = max(64, int(1.3 * 8 * local_cap / S) + 64)
+        t0 = _t()
+        while True:
+            builder = make_sharded_build(mesh, "shard", params.k, local_cap,
+                                         query_cap)
+            succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
+            if not bool(multihost_utils.process_allgather(
+                    bovf, tiled=True).any()):
+                break
+            query_cap *= 2
+        _mark("build", t0)
+        if ckpt is not None:
+            ckpt.save("dist_build", succ=_local_np(succ),
+                      okv_hi=_local_np(okv_hi), okv_lo=_local_np(okv_lo),
+                      meta=np.asarray([local_cap], np.int64))
+            _crash_hook("dist_build")
 
     # --- sharded simplify over the process-spanning mesh (the same
     # remote-gather pointer-doubling passes as the single-process sharded
     # path; flags are allgathered so every process branches identically)
-    from genome_tpu.dist.simplify import make_sharded_final, simplify_sharded
+    from genome_tpu.dist.simplify import final_state_sharded, simplify_sharded
 
-    alive0 = jax.make_array_from_process_local_data(
-        sharding, np.ones((n_local_dev * local_cap,), dtype=bool))
-    t0 = _t()
-    alive_sh, ovf_s = simplify_sharded(mesh, "shard", local_cap, succ,
-                                       okv_hi, okv_lo, cnts, alive0, n_uni,
-                                       params)
-    _mark("simplify", t0)
+    ck = (ckpt.load("dist_simplify")
+          if ckpt is not None and build_resumed else None)
+    if _agreed(ck is not None and int(ck["meta"][0]) == local_cap):
+        alive_sh = jax.make_array_from_process_local_data(
+            sharding, ck["alive"])
+        ovf_s = False
+    else:
+        alive0 = jax.make_array_from_process_local_data(
+            sharding, np.ones((n_local_dev * local_cap,), dtype=bool))
+        t0 = _t()
+        alive_sh, ovf_s = simplify_sharded(mesh, "shard", local_cap, succ,
+                                           okv_hi, okv_lo, cnts, alive0,
+                                           n_uni, params)
+        _mark("simplify", t0)
+        if ckpt is not None and not ovf_s:
+            ckpt.save("dist_simplify", alive=_local_np(alive_sh),
+                      meta=np.asarray([local_cap], np.int64))
+            _crash_hook("dist_simplify")
 
     if not ovf_s:
         # --- sharded final chain state; emission tuples cross to HOST
         # memory only (string assembly is host work; process 0 writes)
-        fovf = None
-        slack = 1.35
         t0 = _t()
-        for _ in range(3):
-            final = make_sharded_final(mesh, "shard", local_cap, slack)
-            head, dist, primary, alive_o, fovf = final(
-                succ, okv_hi, okv_lo, cnts, alive_sh, n_uni)
-            if not bool(multihost_utils.process_allgather(
-                    fovf, tiled=True).any()):
-                fovf = None
-                break
-            slack *= 2.0
+        head, dist, primary, alive_o, f_ovf = final_state_sharded(
+            mesh, "shard", local_cap, succ, okv_hi, okv_lo, cnts,
+            alive_sh, n_uni)
         _mark("final", t0)
-        if fovf is None:
+        if not f_ovf:
             # sharded emission: blocks routed by hash(head, dist//B);
             # only packed bases + per-block records reach host memory
             from genome_tpu.dist.emit import emit_contigs_sharded

@@ -506,6 +506,226 @@ def make_sharded_final(mesh: Mesh, axis: str, local_capacity: int,
     return make_sharded_simplify(mesh, axis, local_capacity, slack)[2]
 
 
+# phase-1 round cap: covers ruler gaps <= 2^(cap-1); a larger gap (or a
+# ruler-free cycle) exits non-converged -> exact-path fallback. Matches
+# the local _P1_ROUNDS reasoning: P(gap > 4096) ~ n2 * (15/16)^4096 ~ 0.
+_P1_CAP = 13
+
+
+def make_sharded_final_fast(mesh: Mesh, axis: str, local_capacity: int,
+                            slack: float = 1.35):
+    """Sharded final chain state via distributed RULER RANKING — the
+    round-3 single-chip wins (graph/simplify.py::_rank_rulers) ported to
+    the multi-host path, where each doubling round costs real exchanges.
+
+    vs the exact final_fn (chain_state with max_len=None), which pays
+    ~log2(S*cl2) full-size remote-gather rounds THREE times (head/dist
+    doubling, cycle min-doubling with 4 payloads, then head/dist again
+    after cycle breaking), this runs:
+      - phase 1: early-exit (p, d) doubling frozen at rulers/heads —
+        ~log2(max ruler gap) ≈ 8-12 full-size rounds, psum-agreed exit;
+      - phase 2: doubling over the RULER arrays only (1/RULER_STRIDE of
+        the id space — exchange volume and sort cost shrink by 16x);
+      - compose + one tail->head twin routing + one primary gather-back.
+    No cycle machinery at all: any surviving cycle (or an over-cap ruler
+    gap) exits with ok=False and the caller falls back to the exact
+    sharded final — semantics are unchanged, CI-enforced by contig
+    parity for P∈{2,4,8} including circular genomes.
+
+    Returns a jitted fn: (succ, okv_hi, okv_lo, counts, alive, n_loc) ->
+    (head, dist, primary_node, alive_o, ok [S], ovf [S]).
+    """
+    from genome_tpu.graph.simplify import RULER_STRIDE
+
+    num_shards = S = mesh.shape[axis]
+    cl = local_capacity
+    cl2 = 2 * cl
+    n2g = S * cl2
+    assert cl2 % RULER_STRIDE == 0
+    rl = cl2 // RULER_STRIDE          # rulers per shard
+    rounds_cap = max(1, (n2g - 1).bit_length() + 1)
+    p1_cap = min(rounds_cap, _P1_CAP)
+    gcap1 = _cap_for(cl2, S, slack)
+    gcap4 = _cap_for(4 * cl2, S, slack)
+    rcap = _cap_for(rl, S, slack)
+
+    def fast_fn(succ, okv_hi, okv_lo, counts, alive, n_loc):
+        succ = succ.reshape(cl2, 4)
+        okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
+        counts, alive = counts.reshape(-1), alive.reshape(-1)
+        me = jax.lax.axis_index(axis).astype(I32)
+        valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
+        remote_gather, seg_route = make_ops(axis, S, cl2)
+        rg_rul, _ = make_ops(axis, S, rl)
+        ids_g = me * cl2 + jnp.arange(cl2, dtype=I32)
+        ids_l = jnp.arange(cl2, dtype=I32)
+        alive_o = jnp.repeat(alive & valid_node, 2)
+        ovf = jnp.zeros((), jnp.bool_)
+        umask = I32(RULER_STRIDE - 1)
+
+        # degrees + links (same exchanges as chain_state's opening)
+        tgt = succ.reshape(-1)
+        (tgt_alive_u,), o1 = remote_gather(
+            (alive_o.astype(U32),), jnp.clip(tgt, 0, None),
+            tgt >= 0, gcap4, (U32(0),))
+        ovf |= o1
+        ok4 = ((tgt >= 0) & (tgt_alive_u != 0)).reshape(-1, 4) \
+            & alive_o[:, None]
+        outdeg = ok4.sum(axis=1, dtype=I32)
+        usucc = jnp.where(ok4, succ, -1).max(axis=1)
+        has = outdeg == 1
+        w = jnp.where(has, usucc, 0)
+        (deg_w1,), o2 = remote_gather((outdeg,), w ^ 1, has, gcap1,
+                                      (I32(0),))
+        ovf |= o2
+        next_u = jnp.where(has & (deg_w1 == 1), w, -1)
+        nx = next_u[ids_l ^ 1]
+        prev_u = jnp.where(nx >= 0, nx ^ 1, -1)
+
+        # phase 1: (p, d) doubling, frozen at rulers and heads. Exit is
+        # psum-agreed so every shard leaves the loop on the same round.
+        p0 = jnp.where(prev_u >= 0, prev_u, ids_g)
+        d0 = jnp.where(prev_u >= 0, 1, 0).astype(I32)
+
+        def p1_cond(c):
+            _, _, _, i, go = c
+            return go & (i < p1_cap)
+
+        def p1_body(c):
+            p, d, of, i, _ = c
+            adv = (p & umask) != 0        # heads self-freeze via p[p]==p
+            (pg, dg), o = remote_gather((p, d), p, adv, gcap1,
+                                        (p, I32(0)))
+            p2 = jnp.where(adv, pg, p)
+            d2 = d + jnp.where(adv, dg, 0)
+            ch = (adv & (pg != p)).any()
+            go = jax.lax.psum(ch.astype(I32), axis) > 0
+            return p2, d2, of | o, i + 1, go
+
+        p, d, ovf, _, go1 = jax.lax.while_loop(
+            p1_cond, p1_body, (p0, d0, ovf, jnp.int32(0), jnp.bool_(True)))
+        p1_ok = ~go1
+
+        # phase 2: rank the ruler graph (arrays 1/RULER_STRIDE the size;
+        # local ruler j is global id me*cl2 + j*RULER_STRIDE, i.e. global
+        # ruler index me*rl + j — contiguous per shard, so rg_rul's
+        # owner = idx // rl routing is exact).
+        rp0 = p[::RULER_STRIDE]
+        rd0 = d[::RULER_STRIDE]
+
+        def p2_cond(c):
+            _, _, _, i, go = c
+            return go & (i < rounds_cap)
+
+        def p2_body(c):
+            rp, rd, of, i, _ = c
+            adv = (rp & umask) == 0       # target is itself a ruler
+            j = rp // RULER_STRIDE        # global ruler index
+            (pg, dg), o = rg_rul((rp, rd), jnp.clip(j, 0, None), adv,
+                                 rcap, (rp, I32(0)))
+            rp2 = jnp.where(adv, pg, rp)
+            rd2 = rd + jnp.where(adv, dg, 0)
+            ch = (adv & (pg != rp)).any()
+            go = jax.lax.psum(ch.astype(I32), axis) > 0
+            return rp2, rd2, of | o, i + 1, go
+
+        rp, rd, ovf, _, go2 = jax.lax.while_loop(
+            p2_cond, p2_body,
+            (rp0, rd0, ovf, jnp.int32(0), jnp.bool_(True)))
+        p2_ok = ~go2
+
+        # compose: nearest ruler-or-head ancestor -> its ranked head.
+        # Deduped requests to one owner <= rl (the rulers it owns), so
+        # cap rl never overflows by construction.
+        a_rul = (p & umask) == 0
+        aj = p // RULER_STRIDE
+        (hp, hd), o3 = rg_rul((rp, rd), jnp.clip(aj, 0, None), a_rul,
+                              rl, (p, I32(0)))
+        ovf |= o3
+        head0 = jnp.where(a_rul, hp, p)
+        dist0 = d + jnp.where(a_rul, hd, 0)
+        head = jnp.where(alive_o, head0, -1)
+        dist = jnp.where(alive_o, dist0, 0)
+        is_head = alive_o & (head == ids_g)
+
+        # twin okv per head = okv(rc(tail)): at most one tail per chain
+        # (cycles are excluded by ok), routed to the head's owner.
+        is_tail = alive_o & (next_u == -1)
+        okv_rc_hi = okv_hi[ids_l ^ 1]
+        okv_rc_lo = okv_lo[ids_l ^ 1]
+        lseg, routed, present, o4 = seg_route(
+            (okv_rc_hi, okv_rc_lo), ("min2", "min2lo"),
+            jnp.clip(head, 0, None), is_tail & (head >= 0), gcap1)
+        ovf |= o4
+        r_h, r_l = routed
+        twin_hi = jax.ops.segment_min(
+            jnp.where(present, r_h, U32(0xFFFFFFFF)), lseg,
+            num_segments=cl2)
+        lo_cand = jnp.where(present & (r_h == twin_hi[lseg]), r_l,
+                            U32(0xFFFFFFFF))
+        twin_lo = jax.ops.segment_min(lo_cand, lseg, num_segments=cl2)
+
+        # primary flag computed at the head owner, gathered back to every
+        # member; prev_u rides the same routing — a composed head with a
+        # surviving predecessor means an undetected cycle (ok=False).
+        prim_head = is_head & u64.le(okv_hi, okv_lo, twin_hi, twin_lo)
+        (pm, pv), o5 = remote_gather(
+            (prim_head.astype(U32), prev_u), jnp.clip(head, 0, None),
+            alive_o & (head >= 0), gcap1, (U32(0), I32(-1)))
+        ovf |= o5
+        primary_node = alive_o & (head >= 0) & (pm != 0)
+        head_bad = (alive_o & (head >= 0) & (pv >= 0)).any()
+        ok = p1_ok & p2_ok & ~head_bad
+        return head, dist, primary_node, alive_o, ok[None], ovf[None]
+
+    specs_in = (P(axis),) * 6
+    return jax.jit(jax.shard_map(fast_fn, mesh=mesh, check_vma=False,
+                                 in_specs=specs_in,
+                                 out_specs=(P(axis),) * 6))
+
+
+def final_state_sharded(mesh: Mesh, axis: str, local_capacity: int,
+                        succ, okv_hi, okv_lo, counts, alive, n_loc,
+                        metrics=None, max_slack_retries: int = 3):
+    """Sharded final chain state with the fast-path/fallback ladder.
+
+    Tries the ruler-ranking fast final (slack-retried on routing
+    overflow); falls back to the exact sharded final when a cycle
+    survived simplification or the fast path's round caps were exceeded.
+    Returns (head, dist, primary_node, alive_o, overflowed) — overflowed
+    True only when the exact path also exhausted its retries. Multihost-
+    safe: flags are fetched with process allgather so every process
+    takes the same decisions.
+    """
+    import numpy as np
+
+    slack = 1.35
+    for _ in range(max_slack_retries):
+        fast = make_sharded_final_fast(mesh, axis, local_capacity, slack)
+        head, dist, primary, alive_o, fok, fovf = fast(
+            succ, okv_hi, okv_lo, counts, alive, n_loc)
+        if not bool(np.asarray(_fetch(fovf)).any()):
+            if bool(np.asarray(_fetch(fok)).all()):
+                return head, dist, primary, alive_o, False
+            if metrics:
+                metrics.log("dist_final_fast_fallback")
+            break  # structural (cycle / gap over cap): slack won't help
+        slack *= 2.0
+        if metrics:
+            metrics.log("dist_final_fast_overflow_retry", slack=slack)
+    slack = 1.35
+    for _ in range(max_slack_retries):
+        final = make_sharded_final(mesh, axis, local_capacity, slack)
+        head, dist, primary, alive_o, fovf = final(
+            succ, okv_hi, okv_lo, counts, alive, n_loc)
+        if not bool(np.asarray(_fetch(fovf)).any()):
+            return head, dist, primary, alive_o, False
+        slack *= 2.0
+        if metrics:
+            metrics.log("dist_final_overflow_retry", slack=slack)
+    return head, dist, primary, alive_o, True
+
+
 def _fetch(x):
     """Global array -> host numpy; multihost arrays need an allgather
     (np.asarray on a non-fully-addressable array raises)."""
