@@ -88,6 +88,10 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
             metrics.log("dist_capacity_overflow", bucket_cap=bucket_cap,
                         local_cap=local_cap)
         info["n_unique_total"] = int(np.asarray(n_uni).sum())
+        from genome_tpu.dist.count import shrink_tables
+        th, tl, cnts, local_cap = shrink_tables(
+            mesh, "shard", local_cap, th, tl, cnts, n_uni)
+        info["local_cap"] = local_cap
 
     # --- sharded graph build (all_to_all #2/#3: boundary probes) ---
     query_cap = max(64, int(1.3 * 8 * local_cap / S) + 64)

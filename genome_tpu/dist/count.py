@@ -91,3 +91,35 @@ def make_sharded_count(mesh: Mesh, axis: str, bucket_cap: int,
                        in_specs=(P(axis), P(axis), P()),
                        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)))
     return jax.jit(fn)
+
+
+def shrink_tables(mesh: Mesh, axis: str, local_cap: int, th, tl, cnts,
+                  n_uni):
+    """Compact the per-shard count tables to the smallest pow2 holding
+    the largest shard's unique count.
+
+    The count capacity is sized from the k-mer STREAM (reads x windows),
+    which at 20-30x coverage is ~10-20x the unique-k-mer count — without
+    this, every downstream build/simplify/final sort and exchange pays
+    that padding factor. Mirrors the single-host pipeline's pre-build
+    table compaction (assemble/pipeline.py cap2). Safe by construction:
+    entries beyond n_uni[s] are sentinel padding, and the new capacity
+    bounds every shard's n_uni. Multihost-safe (allgathered n_max, same
+    decision on every process). Returns (th, tl, cnts, new_local_cap).
+    """
+    import numpy as _np
+    S = mesh.shape[axis]
+    if getattr(n_uni, "is_fully_addressable", True):
+        n_max = int(_np.asarray(n_uni).max())
+    else:
+        from jax.experimental import multihost_utils
+        n_max = int(multihost_utils.process_allgather(
+            n_uni, tiled=True).max())
+    cap2 = 1 << max(13, (max(n_max, 1) - 1).bit_length())
+    if cap2 >= local_cap:
+        return th, tl, cnts, local_cap
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, P(axis))
+    f = jax.jit(lambda x: x.reshape(S, -1)[:, :cap2].reshape(-1),
+                out_shardings=sh)
+    return f(th), f(tl), f(cnts), cap2

@@ -153,6 +153,9 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
                 break
             bucket_cap *= 2
             local_cap *= 2
+        from genome_tpu.dist.count import shrink_tables
+        th, tl, cnts, local_cap = shrink_tables(
+            mesh, "shard", local_cap, th, tl, cnts, n_uni)
         _mark("count", t0)
         if ckpt is not None:
             ckpt.save("dist_count", th=_local_np(th), tl=_local_np(tl),

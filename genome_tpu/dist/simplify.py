@@ -37,6 +37,11 @@ from genome_tpu.kernels.extract import SENTINEL
 I32 = jnp.int32
 U32 = jnp.uint32
 
+# per-shard compaction buffer for a pass's killed canonicals (the
+# incremental degree/link update, update_deg): kills beyond this fall
+# back to a fresh degree recompute — mirrors graph/simplify.py _KILL_M
+_KILL_MD = 4096
+
 
 def _cap_for(m: int, num_shards: int, slack: float = 1.35) -> int:
     """Per-owner bucket capacity for m hash-balanced requests."""
@@ -169,6 +174,39 @@ def _paired(v):
     return v[0::2], v[1::2]
 
 
+def _compact(flags, vals, M: int):
+    """In-order extraction of flagged elements into M slots (plain jnp,
+    shard_map-safe). Returns (outs, n, overflow)."""
+    dest = jnp.cumsum(flags.astype(I32)) - 1
+    scat = jnp.where(flags & (dest < M), dest, M)
+    outs = tuple(jnp.zeros((M,), v.dtype).at[scat].set(v, mode="drop")
+                 for v in vals)
+    total = flags.sum(dtype=I32)
+    return outs, total, total > M
+
+
+def _degrees_links(succ, alive_o, remote_gather, gcap4, gcap1):
+    """Sharded (outdeg, usucc, next_u, prev_u) from scratch: the alive
+    gather over 4*cl2 edge targets plus the deg-at-twin gather — the two
+    exchanges the carried-degree passes avoid paying per pass."""
+    cl2 = succ.shape[0]
+    ids_l = jnp.arange(cl2, dtype=I32)
+    tgt = succ.reshape(-1)
+    (tgt_alive_u,), o1 = remote_gather(
+        (alive_o.astype(U32),), jnp.clip(tgt, 0, None),
+        tgt >= 0, gcap4, (U32(0),))
+    ok = ((tgt >= 0) & (tgt_alive_u != 0)).reshape(-1, 4) & alive_o[:, None]
+    outdeg = ok.sum(axis=1, dtype=I32)
+    usucc = jnp.where(ok, succ, -1).max(axis=1)
+    has = outdeg == 1
+    w = jnp.where(has, usucc, 0)
+    (deg_w1,), o2 = remote_gather((outdeg,), w ^ 1, has, gcap1, (I32(0),))
+    next_u = jnp.where(has & (deg_w1 == 1), w, -1)
+    nx = next_u[ids_l ^ 1]
+    prev_u = jnp.where(nx >= 0, nx ^ 1, -1)
+    return outdeg, usucc, next_u, prev_u, o1 | o2
+
+
 def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
                           slack: float = 1.35,
                           tip_max_len: int | None = None,
@@ -199,32 +237,21 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
     gcap4 = _cap_for(4 * cl2, S, slack)
 
     def chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                    remote_gather, seg_route, me, max_len=None):
+                    remote_gather, seg_route, me, max_len=None, deg=None):
         ids_g = me * cl2 + jnp.arange(cl2, dtype=I32)  # my global ids
         alive_o = jnp.repeat(alive & valid_node, 2)
         ovf = jnp.zeros((), jnp.bool_)
         rnds = rounds if max_len is None else min(
             rounds, max(2, int(max_len).bit_length() + 1))
 
-        # degrees: alive bit of each successor (remote)
-        tgt = succ.reshape(-1)
-        (tgt_alive_u,), o1 = remote_gather(
-            (alive_o.astype(U32),), jnp.clip(tgt, 0, None),
-            tgt >= 0, gcap4, (U32(0),))
-        ovf |= o1
-        ok = ((tgt >= 0) & (tgt_alive_u != 0)).reshape(-1, 4) & alive_o[:, None]
-        outdeg = ok.sum(axis=1, dtype=I32)
-        usucc = jnp.where(ok, succ, -1).max(axis=1)
-
-        # links: next_u = usucc if outdeg==1 and outdeg[usucc^1]==1
-        has = outdeg == 1
-        w = jnp.where(has, usucc, 0)
-        (deg_w1,), o2 = remote_gather((outdeg,), w ^ 1, has, gcap1, (I32(0),))
-        ovf |= o2
-        next_u = jnp.where(has & (deg_w1 == 1), w, -1)
-        # prev_u[v] = u with next_u[u] = v; next of my rc gives my prev
-        nx = next_u[jnp.arange(cl2, dtype=I32) ^ 1]
-        prev_u = jnp.where(nx >= 0, nx ^ 1, -1)
+        if deg is None:
+            # degrees + links from scratch (two exchanges); carried-deg
+            # passes hand them in instead (run_pass_inc analog)
+            outdeg, usucc, next_u, prev_u, o12 = _degrees_links(
+                succ, alive_o, remote_gather, gcap4, gcap1)
+            ovf |= o12
+        else:
+            outdeg, usucc, next_u, prev_u = deg
 
         # head + distance doubling with UNBROKEN prev first (remote q[q];
         # self-pointers are fixpoints — skipping them keeps request loads
@@ -353,15 +380,116 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         canon_doomed = node_doomed.reshape(-1, 2).any(axis=1)
         return alive & ~canon_doomed, o
 
-    def tips_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, tip_len):
+    kill_md = _KILL_MD
+    dk_cap = _cap_for(8 * kill_md, S, slack)
+    da_cap = _cap_for(4 * S * dk_cap, S, slack)
+
+    def update_deg(succ, alive2, valid_node, killed_c, outdeg, usucc,
+                   next_u, me, remote_gather, seg_route):
+        """Post-kill (outdeg, usucc, next_u, prev_u) update — the
+        distributed analog of graph/simplify.py::_update_degrees. Killed
+        canonicals are compacted to _KILL_MD slots per shard; their
+        edges' twins get routed decrements (validity — target still
+        alive — judged at the OWNER, so no extra alive exchange), and
+        usucc/links are recomputed only over the affected union
+        (received targets + dead rows + their rc-successors). kovf=True
+        means a buffer overflowed and the caller must recompute degrees
+        from scratch before the next pass (results then unusable)."""
+        ids_l = jnp.arange(cl2, dtype=I32)
+        ids_c = jnp.arange(cl, dtype=I32)
+        alive2_o = jnp.repeat(alive2 & valid_node, 2)
+
+        (kc,), nk, kovf = _compact(killed_c, (ids_c,), kill_md)
+        real = jnp.arange(kill_md, dtype=I32) < jnp.minimum(nk, kill_md)
+        kcc = jnp.clip(jnp.where(real, kc, 0), 0, cl - 1)
+        rows = jnp.concatenate([succ[2 * kcc], succ[2 * kcc + 1]],
+                               axis=1)                       # [Mk, 8]
+        wv = ((rows >= 0) & real[:, None]).reshape(-1)
+        w = jnp.clip(rows, 0, None).reshape(-1)
+        # decrements routed to owner of w^1 (same owner as w): one
+        # pre-combined (sum) record per (sender, target)
+        lseg, routed, present, o1 = seg_route(
+            (jnp.ones((kill_md * 8,), U32),), ("sum",),
+            w ^ 1, wv, dk_cap)
+        (rcnt,) = routed
+        lseg_c = jnp.clip(lseg, 0, cl2 - 1)
+        apply = present & alive2_o[lseg_c]
+        od2 = outdeg.at[jnp.where(apply, lseg, cl2)].add(
+            -jnp.where(apply, rcnt.astype(I32), 0), mode="drop")
+        dead = jnp.where(real[:, None],
+                         2 * kcc[:, None] + jnp.arange(2, dtype=I32)[None],
+                         cl2).reshape(-1)
+        od2 = od2.at[dead].set(0, mode="drop")
+
+        # usucc recompute at the received rows (their successor-alive
+        # sets changed): gather post-kill alive of their <=4 successors
+        su = succ[lseg_c]                                    # [S*kcap, 4]
+        sv = (su >= 0) & apply[:, None]
+        (sa,), o2 = remote_gather(
+            (alive2_o.astype(U32),), jnp.clip(su, 0, None).reshape(-1),
+            sv.reshape(-1), da_cap, (U32(0),))
+        okm = sv & (sa.reshape(-1, 4) != 0)
+        new_us = jnp.where(okm, su, -1).max(axis=1)
+        us2 = usucc.at[jnp.where(apply, lseg, cl2)].set(
+            jnp.where(apply, new_us, -1), mode="drop")
+        us2 = us2.at[dead].set(-1, mode="drop")
+
+        # links over U = affected ∪ dead ∪ rc-successors of both (the
+        # exact _update_degrees affected-set rule): next[v] flips only
+        # when v's own (outdeg, usucc) changed or outdeg[usucc[v]^1] did
+        aff = jnp.concatenate([jnp.where(apply, lseg, cl2), dead])
+        affc = jnp.clip(aff, 0, cl2 - 1)
+        sa2 = succ[affc]                                     # [Na, 4]
+        av = (sa2 >= 0) & (aff < cl2)[:, None]
+        cand = jnp.where(av, sa2 ^ 1, 0).reshape(-1)
+        ccap = _cap_for(cand.shape[0], S, slack)
+        (rc_ids,), _, o3 = route_buckets(
+            (cand.astype(U32),),
+            jnp.where(av.reshape(-1), cand // cl2, S), S, ccap, axis)
+        cpresent = rc_ids != SENTINEL
+        cloc = jnp.clip(rc_ids.astype(I32) - me * cl2, 0, cl2 - 1)
+        U = jnp.concatenate([aff, jnp.where(cpresent, cloc, cl2)])
+        Uc = jnp.clip(U, 0, cl2 - 1)
+        uvalid = U < cl2
+        wl = us2[Uc]
+        ucap = _cap_for(U.shape[0], S, slack)
+        (degw,), o4 = remote_gather(
+            (od2,), jnp.clip(wl, 0, None) ^ 1, uvalid & (wl >= 0), ucap,
+            (I32(0),))
+        okl = uvalid & (od2[Uc] == 1) & (wl >= 0) & (degw == 1)
+        nval = jnp.where(okl, wl, -1)
+        nx2 = next_u.at[jnp.where(uvalid, U, cl2)].set(
+            jnp.where(uvalid, nval, -1), mode="drop")
+        nxs = nx2[ids_l ^ 1]
+        pv2 = jnp.where(nxs >= 0, nxs ^ 1, -1)
+        kovf = kovf | o1 | o2 | o3 | o4
+        return od2, us2, nx2, pv2, kovf
+
+    def degrees_fn(succ, alive, n_loc):
+        """Fresh (outdeg, usucc, next_u, prev_u) for the carried-degree
+        pass chain (pass 1, and recovery after an update overflow)."""
+        succ = succ.reshape(cl2, 4)
+        alive = alive.reshape(-1)
+        valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
+        remote_gather, _ = make_ops(axis, S, cl2)
+        alive_o = jnp.repeat(alive & valid_node, 2)
+        od, us, nx, pv, o = _degrees_links(succ, alive_o, remote_gather,
+                                           gcap4, gcap1)
+        return od, us, nx, pv, o[None]
+
+    def tips_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, tip_len,
+                outdeg, usucc, next_u, prev_u):
         succ = succ.reshape(cl2, 4)
         okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
         counts, alive = counts.reshape(-1), alive.reshape(-1)
+        deg = (outdeg.reshape(-1), usucc.reshape(-1), next_u.reshape(-1),
+               prev_u.reshape(-1))
         me = jax.lax.axis_index(axis).astype(I32)
         valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
         remote_gather, seg_route = make_ops(axis, S, cl2)
         st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
-                         remote_gather, seg_route, me, max_len=tip_max_len)
+                         remote_gather, seg_route, me, max_len=tip_max_len,
+                         deg=deg)
         ids = jnp.arange(cl2, dtype=I32)
         cand = st["is_head"] & ~st["cyc_head"] & (st["length"] <= tip_len[0])
         start_open = st["outdeg"][ids ^ 1] == 0
@@ -374,18 +502,25 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         alive2, o8 = kill_heads(alive, st, doomed, remote_gather)
         changed = doomed.any()
         ovf = st["ovf"] | o7 | o8
-        return alive2, changed[None], ovf[None]
+        od2, us2, nx2, pv2, kovf = update_deg(
+            succ, alive2, valid_node, alive & ~alive2, deg[0], deg[1],
+            deg[2], me, remote_gather, seg_route)
+        return (alive2, changed[None], ovf[None], od2, us2, nx2, pv2,
+                kovf[None])
 
-    def bubbles_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, bubble_len):
+    def bubbles_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, bubble_len,
+                   outdeg, usucc, next_u, prev_u):
         succ = succ.reshape(cl2, 4)
         okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
         counts, alive = counts.reshape(-1), alive.reshape(-1)
+        deg = (outdeg.reshape(-1), usucc.reshape(-1), next_u.reshape(-1),
+               prev_u.reshape(-1))
         me = jax.lax.axis_index(axis).astype(I32)
         valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
         remote_gather, seg_route = make_ops(axis, S, cl2)
         st = chain_state(succ, okv_hi, okv_lo, counts, alive, valid_node,
                          remote_gather, seg_route, me,
-                         max_len=bubble_max_len)
+                         max_len=bubble_max_len, deg=deg)
         ids = jnp.arange(cl2, dtype=I32)
         ovf = st["ovf"]
         outdeg, usucc = st["outdeg"], st["usucc"]
@@ -460,7 +595,11 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         alive2, o6 = kill_heads(alive, st, doomed, remote_gather)
         changed = doomed_rec.any()  # router-side view; psum'd by caller
         ovf |= o6
-        return alive2, changed[None], ovf[None]
+        od2, us2, nx2, pv2, kovf = update_deg(
+            succ, alive2, valid_node, alive & ~alive2, deg[0], deg[1],
+            deg[2], me, remote_gather, seg_route)
+        return (alive2, changed[None], ovf[None], od2, us2, nx2, pv2,
+                kovf[None])
 
     def final_fn(succ, okv_hi, okv_lo, counts, alive, n_loc):
         """Sharded final chain state for emission: head/dist with cycles
@@ -485,8 +624,9 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         ovf = st["ovf"] | o
         return head, st["dist"], primary_node, st["alive_o"], ovf[None]
 
-    specs_in = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P())
-    specs_out = (P(axis), P(axis), P(axis))
+    specs_in = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+                P(axis), P(axis), P(axis), P(axis))
+    specs_out = (P(axis),) * 8
     tips = jax.jit(jax.shard_map(tips_fn, mesh=mesh, check_vma=False,
                                  in_specs=specs_in,
                                  out_specs=specs_out))
@@ -497,7 +637,11 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
     final = jax.jit(jax.shard_map(final_fn, mesh=mesh, check_vma=False,
                                   in_specs=specs_in[:6],
                                   out_specs=(P(axis),) * 5))
-    return tips, bubbles, final
+    degrees = jax.jit(jax.shard_map(
+        degrees_fn, mesh=mesh, check_vma=False,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis),) * 5))
+    return tips, bubbles, final, degrees
 
 
 def make_sharded_final(mesh: Mesh, axis: str, local_capacity: int,
@@ -757,20 +901,44 @@ def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
     bubble_len = jnp.asarray([params.bubble_len_eff], I32)
     slack = 1.35
     for _attempt in range(max_slack_retries):
-        tips, bubbles, _ = make_sharded_simplify(
+        tips, bubbles, _, degrees = make_sharded_simplify(
             mesh, axis, local_capacity, slack=slack,
             tip_max_len=params.tip_len_eff,
             bubble_max_len=params.bubble_len_eff)
         alive = alive0
         overflowed = False
+        deg = None  # carried (outdeg, usucc, next_u, prev_u), run_pass_inc
+                    # analog: recomputed from scratch only on pass 1 and
+                    # after an incremental-update buffer overflow
+
+        def _fresh(alive_now):
+            od, us, nx, pv, dovf = degrees(succ, alive_now, n_loc)
+            return (od, us, nx, pv), bool(_fetch(dovf).any())
+
         for _ in range(params.max_rounds):
-            alive, c1, o1 = tips(succ, okv_hi, okv_lo, counts, alive, n_loc,
-                                 tip_len)
-            alive, c2, o2 = bubbles(succ, okv_hi, okv_lo, counts, alive,
-                                    n_loc, bubble_len)
-            if bool(_fetch(o1).any()) or bool(_fetch(o2).any()):
+            if deg is None:
+                deg, dovf = _fresh(alive)
+                if dovf:
+                    overflowed = True
+                    break
+            alive, c1, o1, od, us, nx, pv, k1 = tips(
+                succ, okv_hi, okv_lo, counts, alive, n_loc, tip_len, *deg)
+            if bool(_fetch(o1).any()):
                 overflowed = True
                 break
+            deg = None if bool(_fetch(k1).any()) else (od, us, nx, pv)
+            if deg is None:
+                deg, dovf = _fresh(alive)
+                if dovf:
+                    overflowed = True
+                    break
+            alive, c2, o2, od, us, nx, pv, k2 = bubbles(
+                succ, okv_hi, okv_lo, counts, alive, n_loc, bubble_len,
+                *deg)
+            if bool(_fetch(o2).any()):
+                overflowed = True
+                break
+            deg = None if bool(_fetch(k2).any()) else (od, us, nx, pv)
             if not (bool(_fetch(c1).any()) or bool(_fetch(c2).any())):
                 break
         if not overflowed:

@@ -81,6 +81,9 @@ def main() -> int:
         jnp.asarray(hi.reshape(-1)), jnp.asarray(lo.reshape(-1)),
         jnp.asarray([params.min_coverage], jnp.uint32))
     assert not bool(np.asarray(ovf).any())
+    from genome_tpu.dist.count import shrink_tables
+    th, tl, cnts, local_cap = shrink_tables(mesh, "shard", local_cap,
+                                            th, tl, cnts, n_uni)
     query_cap = max(64, int(1.35 * 8 * local_cap / S) + 64)
     builder = make_sharded_build(mesh, "shard", params.k, local_cap,
                                  query_cap)

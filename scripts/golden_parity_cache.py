@@ -19,7 +19,8 @@ from genome_tpu.params import AssemblyParams
 
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
-    w = bench_workload(scale)
+    repeats = os.environ.get("BENCH_REPEATS_GOLDEN") == "1"
+    w = bench_workload(scale, repeats=repeats)
     params = AssemblyParams(k=w["k"], min_coverage=2)
     key = workload_key(w, params.params_hash())
     path = os.path.join(os.path.dirname(os.path.dirname(
