@@ -43,6 +43,14 @@ U32 = jnp.uint32
 _KILL_MD = 4096
 
 
+def _bub_mc(cl2: int, slack: float) -> int:
+    """Bubble-candidate compaction buffer per shard: candidates are
+    chain heads passing the bubble filter (<< cl2); scales with the
+    retry ladder's slack so an overflow retry doubles it along with the
+    routing capacities. Tests monkeypatch this to force the ladder."""
+    return min(cl2, max(4096, int(65536 * slack / 1.35)))
+
+
 def _cap_for(m: int, num_shards: int, slack: float = 1.35) -> int:
     """Per-owner bucket capacity for m hash-balanced requests."""
     return max(64, int(slack * m / num_shards) + 64)
@@ -383,6 +391,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
     kill_md = _KILL_MD
     dk_cap = _cap_for(8 * kill_md, S, slack)
     da_cap = _cap_for(4 * S * dk_cap, S, slack)
+    bub_mc = _bub_mc(cl2, slack)
 
     def update_deg(succ, alive2, valid_node, killed_c, outdeg, usucc,
                    next_u, me, remote_gather, seg_route):
@@ -563,14 +572,23 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         primary = u64.le(okv_hi, okv_lo, st["twin_hi"], st["twin_lo"])
         keep = cand & proc & (~selfrc | primary)
 
-        # group (p, s) on the shard owning hash(p, s); sort locally
-        mixed = _fmix32_jnp(p.astype(U32) * U32(0x9E3779B9) ^ s.astype(U32))
-        grp_own = jnp.where(keep, (mixed % U32(S)).astype(I32), S)
-        bcap = _cap_for(cl2, S)
+        # group (p, s) on the shard owning hash(p, s). Candidates are
+        # HEADS of short chains (<= #bubble sites << cl2), so compact
+        # them first: the 7-payload routing and the receiver's 7-array
+        # sort run at candidate scale, not id-space scale. Overflow
+        # (> bub_mc candidates) rides the normal slack-retry ladder,
+        # which doubles bub_mc with the routing capacities.
+        (kp, ks, kch, kcl, koh, kol, kid), nkeep, kovf_c = _compact(
+            keep, (p.astype(U32), s.astype(U32), ~st["cov_hi"],
+                   ~st["cov_lo"], okv_hi, okv_lo,
+                   st["ids_g"].astype(U32)), bub_mc)
+        ovf |= kovf_c
+        kreal = jnp.arange(bub_mc, dtype=I32) < jnp.minimum(nkeep, bub_mc)
+        mixed = _fmix32_jnp(kp * U32(0x9E3779B9) ^ ks)
+        grp_own = jnp.where(kreal, (mixed % U32(S)).astype(I32), S)
+        bcap = _cap_for(bub_mc, S)
         routed, _, o4 = route_buckets(
-            (p.astype(U32), s.astype(U32), ~st["cov_hi"], ~st["cov_lo"],
-             okv_hi, okv_lo, st["ids_g"].astype(U32)),
-            grp_own, S, bcap, axis)
+            (kp, ks, kch, kcl, koh, kol, kid), grp_own, S, bcap, axis)
         ovf |= o4
         rp, rs, rch, rcl, roh, rol, rid = routed
         sp_, ss, _, _, _, _, srid = jax.lax.sort(
@@ -584,7 +602,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         # kill message: route doomed head ids to their owner shards
         did = srid.astype(I32)
         kill_own = jnp.where(doomed_rec, did // cl2, S)
-        kcap = _cap_for(cl2, S)
+        kcap = _cap_for(bub_mc, S)
         (kids,), _, o5 = route_buckets(
             (did.astype(U32),), kill_own, S, kcap, axis)
         ovf |= o5

@@ -86,6 +86,9 @@ def main() -> int:
     ap.add_argument("--from-jsonl", nargs="+", default=None,
                     help="skip running; aggregate existing bench JSONL "
                          "files (first = 1-host baseline)")
+    ap.add_argument("--out-dir", default=None,
+                    help="copy each bench_pN.jsonl here (per-round "
+                         "committed artifact)")
     args = ap.parse_args()
 
     if args.from_jsonl:
@@ -113,6 +116,11 @@ def main() -> int:
         jl = os.path.join(tmp, f"bench_p{np_}.jsonl")
         out = os.path.join(tmp, f"contigs_p{np_}.fasta")
         run_cluster(fq, out, np_, args.cpu_devices, args.k, jl)
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            import shutil
+            shutil.copy(jl, os.path.join(args.out_dir,
+                                         f"bench_p{np_}.jsonl"))
         rate, _ = total_rate(jl)
         if base is None:
             base = rate

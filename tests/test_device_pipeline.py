@@ -126,3 +126,19 @@ def test_plant_repeats_deterministic_and_scoped():
     assert a.shape == g.shape and a.dtype == g.dtype
     assert (a != g).sum() > 0  # something was planted
     assert (g == np.random.default_rng(0).integers(0, 4, 10_000)).all()
+
+
+def test_device_diploid_het_bubbles_match_golden():
+    """Diploid workload: true 50/50 het-SNP bubbles (coverage-tied, so
+    popping exercises the VALUE tie-break pins, SEMANTICS §5) assemble
+    identically on device and golden."""
+    from genome_tpu.io.simulate import simulate_reads_diploid
+
+    g = random_genome(20_000, seed=51)
+    reads = simulate_reads_diploid(g, het_rate=0.002, read_len=100,
+                                   coverage=30, error_rate=0.001, seed=52)
+    params = AssemblyParams(k=21, min_coverage=2)
+    got = assemble_device(reads, params)
+    want = assemble_golden(reads, params)
+    assert got == want
+    assert len(got) >= 1

@@ -150,3 +150,44 @@ def test_sharded_simplify_matches_replicated():
     got = np.asarray(alive_sh) & valid
     want = np.asarray(alive_rep) & valid
     assert (got == want).all()
+
+
+def test_sharded_incremental_update_overflow_fallback(monkeypatch):
+    """Force the carried-degree incremental update's kill buffer to
+    overflow every pass (kovf) — the host loop must recompute degrees
+    from scratch each round and still produce exact contigs."""
+    import genome_tpu.dist.simplify as DS
+    monkeypatch.setattr(DS, "_KILL_MD", 2)
+    _, reads, params = _case(4, 800, 70, 18, 0.015, True, 15, 2)
+    got = assemble_sharded(reads, params, num_shards=4)
+    assert got == assemble_golden(reads, params)
+
+
+def test_sharded_bubble_compaction_overflow_retry(monkeypatch):
+    """Force the bubble-candidate compaction buffer to overflow on the
+    first slack rung — the retry ladder must grow it and converge to
+    exact contigs."""
+    import genome_tpu.dist.simplify as DS
+    orig = DS._bub_mc
+
+    def tiny(cl2, slack):
+        return 2 if slack < 1.4 else orig(cl2, slack)
+
+    monkeypatch.setattr(DS, "_bub_mc", tiny)
+    _, reads, params = _case(4, 800, 70, 18, 0.015, True, 15, 2)
+    got = assemble_sharded(reads, params, num_shards=4)
+    assert got == assemble_golden(reads, params)
+
+
+def test_sharded_fast_final_cycle_fallback():
+    """A perfect circular genome leaves a cycle at emission: the
+    ruler-ranking fast final must flag ok=False and the ladder must
+    produce exact contigs through the exact final."""
+    from genome_tpu.io import random_genome, simulate_reads
+    g = random_genome(1500, seed=77)
+    reads = simulate_reads(g, read_len=100, coverage=30, error_rate=0.0,
+                           circular=True, seed=78)
+    params = AssemblyParams(k=21, min_coverage=1)
+    got = assemble_sharded(reads, params, num_shards=4)
+    assert got == assemble_golden(reads, params)
+    assert len(got) == 1
