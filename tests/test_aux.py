@@ -146,3 +146,24 @@ def test_write_fasta_gz_and_fai(tmp_path):
         assert int(ln) == len(s) and int(bl) == 80 and int(byl) == 81
         raw = data[int(off): int(off) + int(ln) + int(ln) // 80 + 1]
         assert raw.replace(b"\n", b"")[: int(ln)].decode() == s
+
+
+def test_fixtures_cli(tmp_path):
+    """Fixture generator CLI: deterministic FASTQ + truth FASTA with the
+    realism knobs (repeats, het) — the reference's shipped-test-read-set
+    analog (SURVEY §4)."""
+    from genome_tpu.io import read_fastx
+    from genome_tpu.io.fixtures import main
+
+    fq, fa = tmp_path / "r.fastq", tmp_path / "g.fasta"
+    main(["-o", str(fq), "--genome-len", "3000", "--coverage", "8",
+          "--repeats", "--het", "0.002", "--truth", str(fa),
+          "--seed", "3"])
+    reads = read_fastx(str(fq))
+    assert len(reads) == 240  # 2 haplotypes x ceil(4 * 3000 / 100)
+    truth = read_fastx(str(fa))
+    assert len(truth) == 1 and len(truth[0]) == 3000
+    fq2 = tmp_path / "r2.fastq"
+    main(["-o", str(fq2), "--genome-len", "3000", "--coverage", "8",
+          "--repeats", "--het", "0.002", "--seed", "3"])
+    assert read_fastx(str(fq2)) == reads

@@ -191,3 +191,18 @@ def test_sharded_fast_final_cycle_fallback():
     got = assemble_sharded(reads, params, num_shards=4)
     assert got == assemble_golden(reads, params)
     assert len(got) == 1
+
+
+@pytest.mark.slow
+def test_sharded_repeat_genome_matches_golden():
+    """Planted near-identical repeats through the SHARDED path (the
+    workload class VERDICT r3 flagged as ungraded): exact parity."""
+    from genome_tpu.io.simulate import plant_repeats
+
+    g = plant_repeats(random_genome(15_000, seed=21),
+                      families=((700, 3),), divergence=0.004, seed=22)
+    reads = simulate_reads(g, read_len=100, coverage=25,
+                           error_rate=0.002, seed=23)
+    params = AssemblyParams(k=21, min_coverage=2)
+    got = assemble_sharded(reads, params, num_shards=4)
+    assert got == assemble_golden(reads, params)
