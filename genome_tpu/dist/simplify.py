@@ -275,8 +275,12 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
 
         d0 = jnp.where(prev_u >= 0, 1, 0).astype(I32)
         p, d, ovf = jax.lax.fori_loop(0, rnds, hd, (p0, d0, ovf))
-        # p == self implies prev_u[self] < 0, so the skipped default is -1
-        (prev_p,), o4 = remote_gather((prev_u,), p, p != ids_g, gcap1,
+        # NOTE: p == self does NOT imply prev_u[self] < 0 — a self-loop
+        # node (homopolymer run >= k+1) has prev_u[v] = v. The gather
+        # must therefore include self-pointers (answered locally by the
+        # is_mine path, no extra traffic) or 1-cycles escape the cycle
+        # detector and emission diverges from the single-device path.
+        (prev_p,), o4 = remote_gather((prev_u,), p, alive_o, gcap1,
                                       (I32(-1),))
         ovf |= o4
         in_cycle = alive_o & (prev_p >= 0)

@@ -206,3 +206,38 @@ def test_sharded_repeat_genome_matches_golden():
     params = AssemblyParams(k=21, min_coverage=2)
     got = assemble_sharded(reads, params, num_shards=4)
     assert got == assemble_golden(reads, params)
+
+
+def test_sharded_degenerate_inputs():
+    """Empty input, reads shorter than k, and N-saturated reads must
+    flow through the full sharded pipeline without overflow tricks or
+    crashes, matching golden (SURVEY §4.6 fault/overflow tier)."""
+    params = AssemblyParams(k=15, min_coverage=1)
+    assert assemble_sharded([], params, num_shards=2) == []
+    short = ["ACGTACGT", "TTTT"]  # all < k
+    assert assemble_sharded(short, params, num_shards=2) == \
+        assemble_golden(short, params)
+    nheavy = ["N" * 60, "ACGTN" * 12, "N" * 30 + "A" * 30]
+    assert assemble_sharded(nheavy, params, num_shards=2) == \
+        assemble_golden(nheavy, params)
+
+
+def test_sharded_self_loop_cycle_parity():
+    """Homopolymer runs >= k+1 create SELF-LOOP nodes (succ[v] = v);
+    the distributed cycle detector must catch 1-cycles (regression:
+    the prev_p gather used to skip self-pointers on the assumption
+    p == self => prev < 0, and emission diverged from golden)."""
+    params = AssemblyParams(k=15, min_coverage=1)
+    poly = ["N" * 30 + "A" * 30]
+    assert assemble_sharded(poly, params, num_shards=2) == \
+        assemble_golden(poly, params) == ["A" * 15]
+    # embedded island: self-loop coexisting with real chains
+    g = random_genome(3000, seed=13) + "A" * 40 + random_genome(3000,
+                                                                seed=14)
+    reads = simulate_reads(g, read_len=100, coverage=25, error_rate=0.0,
+                           seed=15)
+    p2 = AssemblyParams(k=21, min_coverage=2)
+    want = assemble_golden(reads, p2)
+    assert assemble_sharded(reads, p2, num_shards=2) == want
+    from genome_tpu.assemble import assemble_device
+    assert assemble_device(reads, p2) == want
