@@ -241,3 +241,38 @@ def test_sharded_self_loop_cycle_parity():
     assert assemble_sharded(reads, p2, num_shards=2) == want
     from genome_tpu.assemble import assemble_device
     assert assemble_device(reads, p2) == want
+
+
+@pytest.mark.slow
+def test_adversarial_structures_parity():
+    """Inverted repeats (self-RC chain structure), a perfect hairpin
+    (x + revcomp(x)), and 70k-deep coverage (16-bit count limb stress)
+    through device AND sharded paths — exact golden parity."""
+    from genome_tpu.assemble import assemble_device
+    from genome_tpu.utils.dna import revcomp_str
+
+    p = AssemblyParams(k=21, min_coverage=2)
+    x = random_genome(400, seed=31)
+    g = (random_genome(1500, seed=32) + x + random_genome(800, seed=33)
+         + revcomp_str(x) + random_genome(1500, seed=34))
+    reads = simulate_reads(g, read_len=100, coverage=28, error_rate=0.0,
+                           seed=35)
+    want = assemble_golden(reads, p)
+    assert assemble_device(reads, p) == want
+    assert assemble_sharded(reads, p, num_shards=4) == want
+
+    g2 = random_genome(1200, seed=36)
+    g2 = g2 + revcomp_str(g2)
+    reads2 = simulate_reads(g2, read_len=100, coverage=30,
+                            error_rate=0.0, seed=37)
+    want2 = assemble_golden(reads2, p)
+    assert assemble_device(reads2, p) == want2
+    assert assemble_sharded(reads2, p, num_shards=4) == want2
+
+    reads3 = (["ACGTTGCAGGTCAATCGCATGGTACGATCAGT"] * 70000
+              + simulate_reads(random_genome(2000, seed=38),
+                               read_len=100, coverage=20,
+                               error_rate=0.0, seed=39))
+    want3 = assemble_golden(reads3, p)
+    assert assemble_device(reads3, p) == want3
+    assert assemble_sharded(reads3, p, num_shards=4) == want3
