@@ -40,3 +40,18 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip_tpu)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled-executable and tracing caches between test modules.
+
+    The full suite compiles many hundreds of XLA:CPU programs in one
+    process; past ~90% of the suite the CPU compiler intermittently
+    segfaulted inside backend_compile_and_load (observed twice at
+    test_walk_ladder after the round-4 tests grew the program count —
+    the same test passes 3/3 standalone). Dropping dead executables at
+    module boundaries keeps the per-process compiler state bounded; the
+    cost is re-compiling the few fixtures shared across modules."""
+    yield
+    jax.clear_caches()
