@@ -31,17 +31,50 @@ def _content_hash(arrays: dict) -> str:
     return h.hexdigest()[:16]
 
 
+def input_digest(reads) -> str:
+    """Digest of the local read stream for checkpoint validation.
+
+    Count/build tables are owner-hashed per device; resuming against a
+    modified input (or a different topology) would pass params/shard
+    checks yet silently produce wrong contigs. Accepts the two read
+    representations the pipeline does: a uint8 code matrix (native IO)
+    or a list of strings.
+    """
+    h = hashlib.sha256()
+    if isinstance(reads, np.ndarray):
+        a = np.ascontiguousarray(reads)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    else:
+        for r in reads:
+            h.update(r.encode() if isinstance(r, str) else bytes(r))
+            h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
 class PhaseCheckpointer:
-    """Saves/loads per-phase artifacts under dir/<phase>.npz + manifest."""
+    """Saves/loads per-phase artifacts under dir/<phase>.npz + manifest.
+
+    Beyond params_hash/num_shards/content_hash, the manifest records the
+    TOTAL device count (mesh size = processes x local devices — count
+    tables are owner-hashed per device, so a topology change invalidates
+    them even at the same process count) and a digest of the input read
+    stream; load() rejects on any mismatch.
+    """
 
     def __init__(self, directory: str | None, params: AssemblyParams,
                  shard: int = 0, num_shards: int = 1,
-                 load_enabled: bool = True):
+                 load_enabled: bool = True,
+                 n_devices: int | None = None,
+                 input_digest: str | None = None):
         self.dir = directory
         self.params_hash = params.params_hash()
         self.shard = shard
         self.num_shards = num_shards
         self.load_enabled = load_enabled  # False: write-only (fresh run)
+        self.n_devices = n_devices
+        self.input_digest = input_digest
         if directory:
             os.makedirs(directory, exist_ok=True)
 
@@ -73,6 +106,8 @@ class PhaseCheckpointer:
             "params_hash": self.params_hash,
             "num_shards": self.num_shards,
             "content_hash": _content_hash(arrays),
+            "n_devices": self.n_devices,
+            "input_digest": self.input_digest,
         }
         man["params_hash"] = self.params_hash
         with open(self._manifest_path(), "w") as f:
@@ -85,7 +120,9 @@ class PhaseCheckpointer:
         man = self._load_manifest().get("phases", {}).get(
             f"{phase}.shard{self.shard}")
         if not man or man.get("params_hash") != self.params_hash \
-                or man.get("num_shards") != self.num_shards:
+                or man.get("num_shards") != self.num_shards \
+                or man.get("n_devices") != self.n_devices \
+                or man.get("input_digest") != self.input_digest:
             return None
         try:
             with np.load(self._phase_file(phase)) as z:

@@ -126,9 +126,19 @@ def main(argv: list[str] | None = None) -> int:
             info["n_contigs"] = len(contigs)
     else:
         from genome_tpu.assemble.pipeline import run_pipeline
-        # without --resume, checkpoints are written but never read back
+        # without --resume, checkpoints are written but never read back.
+        # The manifest pins the device topology and an input digest so a
+        # resume against a changed mesh or modified reads is rejected
+        # instead of silently producing wrong contigs (ADVICE r4).
+        ndev = digest = None
+        if args.checkpoint_dir:
+            import jax
+            from genome_tpu.assemble.checkpoint import input_digest
+            ndev = len(jax.devices())
+            digest = input_digest(reads)
         ckpt = PhaseCheckpointer(args.checkpoint_dir, params,
-                                 load_enabled=args.resume)
+                                 load_enabled=args.resume,
+                                 n_devices=ndev, input_digest=digest)
         result = run_pipeline(reads, params, capacity=args.capacity,
                               metrics=metrics, ckpt=ckpt,
                               profile_dir=args.profile,

@@ -56,6 +56,8 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
     metrics = metrics or Metrics(quiet=True)
     mesh = mesh or _default_mesh(num_shards)
     S = num_shards
+    from genome_tpu.dist.ledger import LEDGER
+    LEDGER.reset_invocations()
 
     # --- per-shard extraction (DP) ---
     with metrics.phase("dist_extract") as info:
@@ -81,6 +83,7 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
         while True:
             counter = make_sharded_count(mesh, "shard", bucket_cap, local_cap)
             th, tl, cnts, n_uni, ovf = counter(ghi, glo, min_cov)
+            LEDGER.invoke("dist_count")
             if not bool(np.asarray(ovf).any()):
                 break
             bucket_cap *= 2
@@ -100,6 +103,7 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
             builder = make_sharded_build(mesh, "shard", params.k, local_cap,
                                          query_cap)
             succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
+            LEDGER.invoke("dist_build")
             if not bool(np.asarray(bovf).any()):
                 break
             query_cap *= 2
@@ -155,6 +159,9 @@ def assemble_sharded(reads: list[str], params: AssemblyParams | None = None,
                         okv_hi, okv_lo, params.k, params.min_contig_len,
                         node_primary=True)
                 info["n_contigs"] = len(contigs)
+            # per-program collective/byte costs x invocation counts: the
+            # scaling-evidence record (BASELINE.json:5 70%-at-2-hosts)
+            metrics.log("exchange_ledger", **LEDGER.summary())
             return contigs
         metrics.log("dist_final_overflow_fallback")
 

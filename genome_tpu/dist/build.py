@@ -48,6 +48,8 @@ def make_sharded_build(mesh: Mesh, axis: str, k: int, local_capacity: int,
     cl = local_capacity
 
     def shard_fn(table_hi, table_lo, n_loc):
+        from genome_tpu.dist.ledger import LEDGER
+        LEDGER.program("dist_build")
         table_hi, table_lo = table_hi.reshape(-1), table_lo.reshape(-1)
         me = jax.lax.axis_index(axis)
         n = n_loc.reshape(())

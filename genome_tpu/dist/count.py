@@ -54,15 +54,25 @@ def route_buckets(vals: tuple, owner, num_shards: int, bucket_cap: int,
     send_pos = jnp.full((m,), -1, dtype=I32).at[sidx].set(
         jnp.where(dest < num_shards * bucket_cap, dest, -1), mode="drop")
 
-    received = []
+    # ONE all_to_all for all arrays: buffers are stacked column-wise to
+    # [S, len(vals)*cap] so the exchange count is independent of payload
+    # arity (same bytes on the wire, k-1 fewer collective launches — the
+    # latency term that dominates DCN-bound rounds). Row i of the result
+    # is what shard i sent, with each array in its own column section.
+    bufs = []
     for v in vals:
         buf = jnp.full((num_shards * bucket_cap,), SENTINEL, dtype=U32)
         buf = buf.at[dest].set(v[sidx], mode="drop")
-        buf = buf.reshape(num_shards, bucket_cap)
-        out = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
-                                 tiled=True)
-        received.append(out.reshape(-1))
-    return tuple(received), send_pos, overflow
+        bufs.append(buf.reshape(num_shards, bucket_cap))
+    stacked = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=1)
+    out = jax.lax.all_to_all(stacked, axis, split_axis=0, concat_axis=0,
+                             tiled=True)
+    from genome_tpu.dist.ledger import record_a2a
+    record_a2a(1, num_shards, len(vals) * bucket_cap)
+    received = tuple(
+        out[:, j * bucket_cap : (j + 1) * bucket_cap].reshape(-1)
+        for j in range(len(vals)))
+    return received, send_pos, overflow
 
 
 def make_sharded_count(mesh: Mesh, axis: str, bucket_cap: int,
@@ -77,6 +87,8 @@ def make_sharded_count(mesh: Mesh, axis: str, bucket_cap: int,
     num_shards = mesh.shape[axis]
 
     def shard_fn(hi, lo, min_cov):
+        from genome_tpu.dist.ledger import LEDGER
+        LEDGER.program("dist_count")
         hi, lo = hi.reshape(-1), lo.reshape(-1)
         valid = hi != SENTINEL
         own = jnp.where(valid, owner_of(hi, lo, num_shards), num_shards)

@@ -70,6 +70,8 @@ def make_sharded_emit(mesh: Mesh, axis: str, local_capacity: int,
     cl2 = 2 * local_capacity
 
     def emit_fn(head, dist, primary, alive_o, okv_hi, okv_lo):
+        from genome_tpu.dist.ledger import LEDGER
+        LEDGER.program("dist_emit")
         head = head.reshape(-1)
         dist = dist.reshape(-1)
         primary = primary.reshape(-1)
@@ -165,6 +167,8 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
                                  block_cap, head_cap)
         (words, bhead, bblk, bcnt, n_blocks, hid, hh, hl, n_heads,
          ovf) = emit(head, dist, primary, alive_o, okv_hi, okv_lo)
+        from genome_tpu.dist.ledger import LEDGER
+        LEDGER.invoke("dist_emit")
         if not bool(_fetch(ovf).any()):
             break
         ecap *= 2
@@ -228,7 +232,17 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
     cum = np.concatenate([[0], np.cumsum(bc)])
     text = np.frombuffer(b"ACGT", dtype=np.uint8)[flat].tobytes().decode(
         "ascii")
-    head_km = kkm[np.searchsorted(kid, bh[starts])]
+    pos = np.searchsorted(kid, bh[starts])
+    # every block-chain head MUST have a head record; a miss here means a
+    # broken invariant upstream — fail loudly instead of silently building
+    # the contig from a neighboring head k-mer (searchsorted returns an
+    # insertion point, not a membership test)
+    if pos.size and (int(pos.max()) >= kid.size
+                     or not (kid[pos] == bh[starts]).all()):
+        raise AssertionError(
+            "dist emit: contig head id missing from head-kmer join table "
+            "(invariant violation — head/block exchange out of sync)")
+    head_km = kkm[pos]
     out: list[str] = []
     for i in range(starts.size):
         a, b = starts[i], ends[i]

@@ -113,11 +113,17 @@ def main(argv=None) -> int:
     params = AssemblyParams(k=args.k, min_coverage=args.min_coverage)
     ckpt = None
     if args.checkpoint_dir:
-        from genome_tpu.assemble.checkpoint import PhaseCheckpointer
+        from genome_tpu.assemble.checkpoint import (PhaseCheckpointer,
+                                                    input_digest)
+        # pin total device count (owner hashing is per DEVICE, not per
+        # process) and the local read-shard digest so resume under a
+        # different topology or modified input is rejected (ADVICE r4)
         ckpt = PhaseCheckpointer(args.checkpoint_dir, params,
                                  shard=args.process_id,
                                  num_shards=args.num_processes,
-                                 load_enabled=args.resume)
+                                 load_enabled=args.resume,
+                                 n_devices=len(jax.devices()),
+                                 input_digest=input_digest(local))
     contigs = assemble_multihost(
         local, params, forbid_replicated=args.forbid_replicated,
         ckpt=ckpt)
@@ -136,6 +142,7 @@ def main(argv=None) -> int:
         wall = time.perf_counter() - t0
         n_total = int(multihost_utils.process_allgather(
             jnp.asarray([len(local)])).sum())
+        ledger = phases.pop("exchange_ledger", None)
         rec = {
             "metric": "reads_per_sec",
             "process_id": args.process_id,
@@ -147,6 +154,7 @@ def main(argv=None) -> int:
             "reads_per_sec_total": round(n_total / wall, 1),
             "phases_s": {k2: round(v, 3) for k2, v in phases.items()},
             "n_contigs": len(contigs),
+            "exchange_ledger": ledger,
         }
         line = json.dumps(rec)
         if args.bench_out:

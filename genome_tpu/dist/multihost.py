@@ -78,6 +78,8 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
     params = params or AssemblyParams()
     pt = phase_times if phase_times is not None else {}
     _t = _time.perf_counter
+    from genome_tpu.dist.ledger import LEDGER
+    LEDGER.reset_invocations()
 
     def _mark(name, t0):
         pt[name] = pt.get(name, 0.0) + (_t() - t0)
@@ -148,6 +150,7 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
             counter = make_sharded_count(mesh, "shard", bucket_cap,
                                          local_cap)
             th, tl, cnts, n_uni, ovf = counter(ghi, glo, min_cov)
+            LEDGER.invoke("dist_count")
             if not bool(multihost_utils.process_allgather(
                     ovf, tiled=True).any()):
                 break
@@ -182,6 +185,7 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
             builder = make_sharded_build(mesh, "shard", params.k, local_cap,
                                          query_cap)
             succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
+            LEDGER.invoke("dist_build")
             if not bool(multihost_utils.process_allgather(
                     bovf, tiled=True).any()):
                 break
@@ -248,6 +252,7 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
                                        params.min_contig_len,
                                        node_primary=True)
             _mark("emit", t0)
+            pt["exchange_ledger"] = LEDGER.summary()
             return contigs
 
     if forbid_replicated:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from genome_tpu.dist.count import route_buckets
+from genome_tpu.dist.ledger import LEDGER, record_a2a, record_psum
 from genome_tpu.dist.partition import _fmix32_jnp
 from genome_tpu.kernels import u64
 from genome_tpu.kernels.extract import SENTINEL
@@ -56,11 +57,17 @@ def _cap_for(m: int, num_shards: int, slack: float = 1.35) -> int:
     return max(64, int(slack * m / num_shards) + 64)
 
 
-def _back(resp, axis, num_shards, cap):
-    """Return a response buffer along the same bucket layout."""
-    out = jax.lax.all_to_all(resp.reshape(num_shards, cap), axis,
-                             split_axis=0, concat_axis=0, tiled=True)
-    return out.reshape(-1)
+def _back_multi(resps: tuple, axis, num_shards, cap):
+    """Return response buffers along the same bucket layout — ONE
+    all_to_all for all payloads (stacked column-wise, same bytes, one
+    collective launch instead of len(resps); see route_buckets)."""
+    bufs = [r.reshape(num_shards, cap) for r in resps]
+    stacked = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=1)
+    out = jax.lax.all_to_all(stacked, axis, split_axis=0, concat_axis=0,
+                             tiled=True)
+    record_a2a(1, num_shards, len(resps) * cap)
+    return tuple(out[:, j * cap : (j + 1) * cap].reshape(-1)
+                 for j in range(len(resps)))
 
 
 def make_ops(axis: str, num_shards: int, cl2: int):
@@ -103,19 +110,21 @@ def make_ops(axis: str, num_shards: int, cl2: int):
         pos = jnp.arange(m, dtype=I32)
         runstart = jax.lax.cummax(jnp.where(first, pos, 0))
         inv = jnp.zeros((m,), I32).at[sslot].set(pos, unique_indices=True)
+        # all responses ride ONE return all_to_all (stacked columns)
+        resps = tuple(jnp.where(present, v[loc].astype(U32), 0)
+                      for v in vals)
+        gots = _back_multi(resps, axis, S, cap)
+        sp = jnp.clip(send_pos, 0, None)
+        ok_head = uniq & (send_pos >= 0)
+        ok = ok_head[runstart]
+        okm = ok[inv]
         outs = []
-        for v, d in zip(vals, defaults):
-            resp = jnp.where(present, v[loc].astype(U32), 0)
-            got = _back(resp, axis, S, cap)
-            sp = jnp.clip(send_pos, 0, None)
-            at_head = jnp.where(uniq & (send_pos >= 0), got[sp], U32(0))
-            ok_head = uniq & (send_pos >= 0)
+        for v, d, got in zip(vals, defaults, gots):
+            at_head = jnp.where(ok_head, got[sp], U32(0))
             # broadcast each run head's response to the whole run, then
             # map back through the sort permutation to original slots
             bcast = at_head[runstart]
-            ok = ok_head[runstart]
             o = bcast[inv].astype(v.dtype)
-            okm = ok[inv]
             o = jnp.where(is_mine, v[loc_self], o)
             outs.append(jnp.where(valid & (is_mine | (remote & okm)),
                                   o, d))
@@ -274,7 +283,8 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
             return p2, dd + dp, of | o
 
         d0 = jnp.where(prev_u >= 0, 1, 0).astype(I32)
-        p, d, ovf = jax.lax.fori_loop(0, rnds, hd, (p0, d0, ovf))
+        with LEDGER.loop(rnds):
+            p, d, ovf = jax.lax.fori_loop(0, rnds, hd, (p0, d0, ovf))
         # NOTE: p == self does NOT imply prev_u[self] < 0 — a self-loop
         # node (homopolymer run >= k+1) has prev_u[v] = v. The gather
         # must therefore include self-pointers (answered locally by the
@@ -298,13 +308,16 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
                 take = u64.lt(ch, cm, mh, ml)
                 return (jnp.where(take, ch, mh), jnp.where(take, cm, ml),
                         jnp.where(take, ci, mi), q2, of | o)
-            mh, ml, mn_i, _, ovf = jax.lax.fori_loop(
-                0, rounds, mndbl, (okv_hi, okv_lo, ids_g, p0, ovf))
+            with LEDGER.loop(rounds):
+                mh, ml, mn_i, _, ovf = jax.lax.fori_loop(
+                    0, rounds, mndbl, (okv_hi, okv_lo, ids_g, p0, ovf))
             rep_break = in_cycle & (mn_i == ids_g)
             prev2 = jnp.where(rep_break, -1, prev_u)
             p2_ = jnp.where(prev2 >= 0, prev2, ids_g)
             d2_ = jnp.where(prev2 >= 0, 1, 0).astype(I32)
-            p, d, ovf = jax.lax.fori_loop(0, rounds, hd, (p2_, d2_, ovf))
+            with LEDGER.loop(rounds):
+                p, d, ovf = jax.lax.fori_loop(0, rounds, hd,
+                                              (p2_, d2_, ovf))
         head = jnp.where(alive_o, p, -1)
         dist = jnp.where(alive_o, d, 0)
         is_head = alive_o & (head == ids_g)
@@ -481,6 +494,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
     def degrees_fn(succ, alive, n_loc):
         """Fresh (outdeg, usucc, next_u, prev_u) for the carried-degree
         pass chain (pass 1, and recovery after an update overflow)."""
+        LEDGER.program("dist_degrees")
         succ = succ.reshape(cl2, 4)
         alive = alive.reshape(-1)
         valid_node = jnp.arange(cl, dtype=I32) < n_loc.reshape(())
@@ -492,6 +506,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
 
     def tips_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, tip_len,
                 outdeg, usucc, next_u, prev_u):
+        LEDGER.program("dist_tips")
         succ = succ.reshape(cl2, 4)
         okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
         counts, alive = counts.reshape(-1), alive.reshape(-1)
@@ -523,6 +538,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
 
     def bubbles_fn(succ, okv_hi, okv_lo, counts, alive, n_loc, bubble_len,
                    outdeg, usucc, next_u, prev_u):
+        LEDGER.program("dist_bubbles")
         succ = succ.reshape(cl2, 4)
         okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
         counts, alive = counts.reshape(-1), alive.reshape(-1)
@@ -628,6 +644,7 @@ def make_sharded_simplify(mesh: Mesh, axis: str, local_capacity: int,
         broken, plus the node-level primary flag (head's primary gathered
         back to every member), all staying sharded — no shard ever holds
         a global-graph-sized array."""
+        LEDGER.program("dist_final_exact")
         succ = succ.reshape(cl2, 4)
         okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
         counts, alive = counts.reshape(-1), alive.reshape(-1)
@@ -716,6 +733,7 @@ def make_sharded_final_fast(mesh: Mesh, axis: str, local_capacity: int,
     rcap = _cap_for(rl, S, slack)
 
     def fast_fn(succ, okv_hi, okv_lo, counts, alive, n_loc):
+        LEDGER.program("dist_final_fast")
         succ = succ.reshape(cl2, 4)
         okv_hi, okv_lo = okv_hi.reshape(-1), okv_lo.reshape(-1)
         counts, alive = counts.reshape(-1), alive.reshape(-1)
@@ -762,14 +780,17 @@ def make_sharded_final_fast(mesh: Mesh, axis: str, local_capacity: int,
             adv = (p & umask) != 0        # heads self-freeze via p[p]==p
             (pg, dg), o = remote_gather((p, d), p, adv, gcap1,
                                         (p, I32(0)))
+            record_psum()
             p2 = jnp.where(adv, pg, p)
             d2 = d + jnp.where(adv, dg, 0)
             ch = (adv & (pg != p)).any()
             go = jax.lax.psum(ch.astype(I32), axis) > 0
             return p2, d2, of | o, i + 1, go
 
-        p, d, ovf, _, go1 = jax.lax.while_loop(
-            p1_cond, p1_body, (p0, d0, ovf, jnp.int32(0), jnp.bool_(True)))
+        with LEDGER.loop(p1_cap, dynamic=True):
+            p, d, ovf, i1, go1 = jax.lax.while_loop(
+                p1_cond, p1_body,
+                (p0, d0, ovf, jnp.int32(0), jnp.bool_(True)))
         p1_ok = ~go1
 
         # phase 2: rank the ruler graph (arrays 1/RULER_STRIDE the size;
@@ -789,15 +810,17 @@ def make_sharded_final_fast(mesh: Mesh, axis: str, local_capacity: int,
             j = rp // RULER_STRIDE        # global ruler index
             (pg, dg), o = rg_rul((rp, rd), jnp.clip(j, 0, None), adv,
                                  rcap, (rp, I32(0)))
+            record_psum()
             rp2 = jnp.where(adv, pg, rp)
             rd2 = rd + jnp.where(adv, dg, 0)
             ch = (adv & (pg != rp)).any()
             go = jax.lax.psum(ch.astype(I32), axis) > 0
             return rp2, rd2, of | o, i + 1, go
 
-        rp, rd, ovf, _, go2 = jax.lax.while_loop(
-            p2_cond, p2_body,
-            (rp0, rd0, ovf, jnp.int32(0), jnp.bool_(True)))
+        with LEDGER.loop(rounds_cap, dynamic=True):
+            rp, rd, ovf, i2, go2 = jax.lax.while_loop(
+                p2_cond, p2_body,
+                (rp0, rd0, ovf, jnp.int32(0), jnp.bool_(True)))
         p2_ok = ~go2
 
         # compose: nearest ruler-or-head ancestor -> its ranked head.
@@ -842,12 +865,17 @@ def make_sharded_final_fast(mesh: Mesh, axis: str, local_capacity: int,
         primary_node = alive_o & (head >= 0) & (pm != 0)
         head_bad = (alive_o & (head >= 0) & (pv >= 0)).any()
         ok = p1_ok & p2_ok & ~head_bad
-        return head, dist, primary_node, alive_o, ok[None], ovf[None]
+        # observed doubling round counts (psum-agreed, identical on every
+        # shard): the DYNAMIC piece of the exchange ledger — multiply the
+        # per-round collective cost by these, not the loop caps
+        rnds = jnp.stack([i1, i2])
+        return (head, dist, primary_node, alive_o, ok[None], ovf[None],
+                rnds[None])
 
     specs_in = (P(axis),) * 6
     return jax.jit(jax.shard_map(fast_fn, mesh=mesh, check_vma=False,
                                  in_specs=specs_in,
-                                 out_specs=(P(axis),) * 6))
+                                 out_specs=(P(axis),) * 7))
 
 
 def final_state_sharded(mesh: Mesh, axis: str, local_capacity: int,
@@ -868,10 +896,15 @@ def final_state_sharded(mesh: Mesh, axis: str, local_capacity: int,
     slack = 1.35
     for _ in range(max_slack_retries):
         fast = make_sharded_final_fast(mesh, axis, local_capacity, slack)
-        head, dist, primary, alive_o, fok, fovf = fast(
+        head, dist, primary, alive_o, fok, fovf, frnds = fast(
             succ, okv_hi, okv_lo, counts, alive, n_loc)
+        LEDGER.invoke("dist_final_fast")
         if not bool(np.asarray(_fetch(fovf)).any()):
             if bool(np.asarray(_fetch(fok)).all()):
+                if metrics:
+                    r = np.asarray(_fetch(frnds))[0]
+                    metrics.log("dist_final_fast_rounds",
+                                p1=int(r[0]), p2=int(r[1]))
                 return head, dist, primary, alive_o, False
             if metrics:
                 metrics.log("dist_final_fast_fallback")
@@ -884,6 +917,7 @@ def final_state_sharded(mesh: Mesh, axis: str, local_capacity: int,
         final = make_sharded_final(mesh, axis, local_capacity, slack)
         head, dist, primary, alive_o, fovf = final(
             succ, okv_hi, okv_lo, counts, alive, n_loc)
+        LEDGER.invoke("dist_final_exact")
         if not bool(np.asarray(_fetch(fovf)).any()):
             return head, dist, primary, alive_o, False
         slack *= 2.0
@@ -935,6 +969,7 @@ def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
 
         def _fresh(alive_now):
             od, us, nx, pv, dovf = degrees(succ, alive_now, n_loc)
+            LEDGER.invoke("dist_degrees")
             return (od, us, nx, pv), bool(_fetch(dovf).any())
 
         for _ in range(params.max_rounds):
@@ -945,6 +980,7 @@ def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
                     break
             alive, c1, o1, od, us, nx, pv, k1 = tips(
                 succ, okv_hi, okv_lo, counts, alive, n_loc, tip_len, *deg)
+            LEDGER.invoke("dist_tips")
             if bool(_fetch(o1).any()):
                 overflowed = True
                 break
@@ -957,6 +993,7 @@ def simplify_sharded(mesh: Mesh, axis: str, local_capacity: int,
             alive, c2, o2, od, us, nx, pv, k2 = bubbles(
                 succ, okv_hi, okv_lo, counts, alive, n_loc, bubble_len,
                 *deg)
+            LEDGER.invoke("dist_bubbles")
             if bool(_fetch(o2).any()):
                 overflowed = True
                 break

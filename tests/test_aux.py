@@ -111,6 +111,33 @@ def test_checkpoint_ignored_on_shard_count_change(fastq, tmp_path):
     assert a.load("count") is not None
 
 
+def test_checkpoint_ignored_on_topology_or_input_change(tmp_path):
+    """ADVICE r4: resume must reject a changed device topology (owner
+    hashing is per device) or a modified input read stream, both of which
+    pass the params/num_shards checks."""
+    from genome_tpu.assemble.checkpoint import PhaseCheckpointer, input_digest
+    from genome_tpu.params import AssemblyParams
+    params = AssemblyParams(k=15)
+    reads_a = ["ACGTACGTACGTACGTAC", "TTTTGGGGCCCCAAAATT"]
+    reads_b = ["ACGTACGTACGTACGTAC", "TTTTGGGGCCCCAAAATA"]  # one base off
+    a = PhaseCheckpointer(str(tmp_path / "ck"), params, n_devices=8,
+                          input_digest=input_digest(reads_a))
+    a.save("count", x=np.arange(4))
+    assert a.load("count") is not None
+    # different total device count, same process count -> reject
+    b = PhaseCheckpointer(str(tmp_path / "ck"), params, n_devices=4,
+                          input_digest=input_digest(reads_a))
+    assert b.load("count") is None
+    # modified input reads -> reject
+    c = PhaseCheckpointer(str(tmp_path / "ck"), params, n_devices=8,
+                          input_digest=input_digest(reads_b))
+    assert c.load("count") is None
+    # code-matrix and string digests are both deterministic
+    m = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    assert input_digest(m) == input_digest(m.copy())
+    assert input_digest(reads_a) != input_digest(reads_b)
+
+
 def test_assembly_stats():
     from genome_tpu.assemble.stats import assembly_stats
     assert assembly_stats([]) == {"n_contigs": 0, "total_bp": 0, "longest": 0,
