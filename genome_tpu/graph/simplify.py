@@ -690,6 +690,23 @@ _TAIL_M = 1 << 18  # compacted chain-tail buffer (chains << nodes after
 _D_BITS = 8          # phase-1 packed distance field; saturates at 255
 _P_MASK = (1 << 24) - 1
 
+# Packed-scheme ladder for the phase-1 doubling: (max id bits, ruler
+# stride, distance bits, saturation fix-up buffer). The pointer field
+# gets 32 - d_bits bits, so bigger id spaces trade distance range (and a
+# denser ruler set to keep the gap tail under the saturation cap) for
+# pointer width. Fix-up buffer sizes come from the gap-tail arithmetic:
+# expected saturated nodes ~ n2 * ((stride-1)/stride)^(2^d_bits - 1) —
+# at the worst case of each scheme that is ~0 (24/16/8), ~9e3
+# (25/16/7: 2^25 * (15/16)^127), and ~1.5e4 (26/8/6: 2^26 * (7/8)^63);
+# each buffer carries >= 4x margin. Beyond 2^26 ids, phase 1 runs
+# unpacked (two gathers per round) — that regime belongs to the sharded
+# path, whose per-shard id spaces stay under the packed limits.
+_PACK_SCHEMES = (
+    (24, 16, 8, 4096),
+    (25, 16, 7, 1 << 16),
+    (26, 8, 6, 1 << 17),
+)
+
 
 def _phase1_unpacked(prev_u, rounds: int, mask):
     """Phase-1 doubling on separate (p, d) arrays (2 gathers/round)."""
@@ -717,22 +734,25 @@ def _phase1_unpacked(prev_u, rounds: int, mask):
     return p, d
 
 
-def _phase1_packed(prev_u, rounds: int, mask):
+def _phase1_packed(prev_u, rounds: int, stride: int, d_bits: int):
     """Phase-1 doubling with (p, d) PACKED into one uint32 (p in bits
-    [0,24), d saturating at 2^8-1 in [24,32)): ONE gather per round
-    instead of two — the doubling gathers are the final phase's measured
-    wall. Returns (p, d, exact): d values below the saturation cap are
+    [0, 32-d_bits), d saturating at 2^d_bits - 1 above): ONE gather per
+    round instead of two — the doubling gathers are the final phase's
+    measured wall. Returns (p, d): d values below the saturation cap are
     exact (saturation is monotone — a clamped ancestor distance can only
-    clamp the dependent sums); exact=False when any d hit the cap and the
-    caller must redo phase 1 unpacked. Caller guarantees n2 < 2^24."""
+    clamp the dependent sums); saturated slots are repaired by
+    _phase1_sat_fixup or the unpacked redo. Caller guarantees
+    n2 <= 2^(32 - d_bits)."""
     n2 = prev_u.shape[0]
     ids = jnp.arange(n2, dtype=I32)
-    sat = U32((1 << _D_BITS) - 1)
-    pm = U32(_P_MASK)
+    p_bits = 32 - d_bits
+    sat = U32((1 << d_bits) - 1)
+    pm = U32((1 << p_bits) - 1)
+    sh = U32(p_bits)
     p0 = jnp.where(prev_u >= 0, prev_u, ids).astype(U32)
     d0 = jnp.where(prev_u >= 0, U32(1), U32(0))
-    x0 = p0 | (d0 << U32(24))
-    umask = U32(RULER_STRIDE - 1)
+    x0 = p0 | (d0 << sh)
+    umask = U32(stride - 1)
 
     def p1_cond(c):
         _, i, changed = c
@@ -743,17 +763,17 @@ def _phase1_packed(prev_u, rounds: int, mask):
         p = x & pm
         g = x[p]
         pg = g & pm
-        dg = g >> U32(24)
-        d2 = jnp.minimum((x >> U32(24)) + dg, sat)
+        dg = g >> sh
+        d2 = jnp.minimum((x >> sh) + dg, sat)
         adv = (p & umask) != 0
-        x2 = jnp.where(adv, pg | (d2 << U32(24)), x)
+        x2 = jnp.where(adv, pg | (d2 << sh), x)
         changed = (adv & (pg != p)).any()
         return x2, i + 1, changed
 
     x, _, _ = jax.lax.while_loop(
         p1_cond, p1_body, (x0, jnp.int32(0), jnp.bool_(True)))
     p = (x & pm).astype(I32)
-    d = (x >> U32(24)).astype(I32)
+    d = (x >> sh).astype(I32)
     return p, d
 
 
@@ -761,22 +781,22 @@ _SAT_K = 4096       # fix-up buffer for saturated-distance nodes
 _SAT_STEPS = 1 << 14
 
 
-def _phase1_sat_fixup(prev_u, p, d):
+def _phase1_sat_fixup(prev_u, p, d, stride: int = RULER_STRIDE,
+                      d_bits: int = _D_BITS, sat_k: int = _SAT_K):
     """Exact (p, d) for the nodes whose packed phase-1 distance saturated
-    (expected O(1) nodes: a ruler gap > 255 occurs ~n2*(15/16)^255 times
-    per run). Walks prev links sequentially on a _SAT_K-compacted buffer
-    — tiny arrays, bounded steps. Returns (p2, d2, ok); ok=False when
-    the buffer overflows or a walk failed to freeze (caller then redoes
-    phase 1 unpacked)."""
+    (gap-tail arithmetic per scheme in _PACK_SCHEMES). Walks prev links
+    sequentially on a sat_k-compacted buffer — small arrays, bounded
+    steps. Returns (p2, d2, ok); ok=False when the buffer overflows or a
+    walk failed to freeze (caller then redoes phase 1 unpacked)."""
     n2 = prev_u.shape[0]
-    sat_v = d == (1 << _D_BITS) - 1
+    sat_v = d == (1 << d_bits) - 1
     n_sat = sat_v.sum(dtype=I32)
     idsn = jnp.arange(n2, dtype=I32)
     dest = jnp.cumsum(sat_v.astype(I32)) - 1
-    scat = jnp.where(sat_v & (dest < _SAT_K), dest, _SAT_K)
-    vids = jnp.full((_SAT_K,), -1, I32).at[scat].set(idsn, mode="drop")
-    real = jnp.arange(_SAT_K, dtype=I32) < jnp.minimum(n_sat, _SAT_K)
-    umask = I32(RULER_STRIDE - 1)
+    scat = jnp.where(sat_v & (dest < sat_k), dest, sat_k)
+    vids = jnp.full((sat_k,), -1, I32).at[scat].set(idsn, mode="drop")
+    real = jnp.arange(sat_k, dtype=I32) < jnp.minimum(n_sat, sat_k)
+    umask = I32(stride - 1)
 
     v0 = jnp.where(real, vids, 0)
     cur0 = prev_u[v0]          # saturated => prev >= 0
@@ -798,33 +818,35 @@ def _phase1_sat_fixup(prev_u, p, d):
         w_cond, w_body, (cur0, dd0, jnp.int32(0), jnp.bool_(True)))
     curc = jnp.clip(cur, 0, n2 - 1)
     frozen_all = (((cur & umask) == 0) | (prev_u[curc] < 0) | ~real).all()
-    ok = (n_sat <= _SAT_K) & frozen_all
+    ok = (n_sat <= sat_k) & frozen_all
     tgt = jnp.where(real, v0, n2)
     p2 = p.at[tgt].set(cur, mode="drop")
     d2 = d.at[tgt].set(dd, mode="drop")
     return p2, d2, ok
 
 
-def _rank_rulers(next_u, prev_u):
-    """(head, dist, ok) via ruler ranking; ok=False iff a cycle was seen
-    (caller falls back to the dense path, which breaks cycles)."""
+def _rank_rulers_impl(next_u, prev_u, stride: int, d_bits: int,
+                      sat_k: int, packed: bool):
+    """(head, dist, ok) via ruler ranking at one _PACK_SCHEMES point;
+    ok=False iff a cycle was seen (caller falls back to the dense path,
+    which breaks cycles)."""
     n2 = next_u.shape[0]
-    ids = jnp.arange(n2, dtype=I32)
     rounds = max(1, (n2 - 1).bit_length() + 1)
-    mask = I32(RULER_STRIDE - 1)
+    mask = I32(stride - 1)
 
     # phase 1: double until every pointer rests on a ruler or a head.
     # Heads are natural fixpoints (p[h] = h), so only rulers need the
     # freeze test — one AND against the id bits, no extra gather.
-    # Packed single-gather variant when ids fit 24 bits; the rare
-    # saturated-distance case redoes it unpacked (lax.cond: only the
-    # taken branch executes).
-    if n2 < (1 << 24):
-        pp, dp = _phase1_packed(prev_u, rounds, mask)
-        any_sat = (dp == (1 << _D_BITS) - 1).any()
+    # Packed single-gather variant when ids fit the scheme's pointer
+    # field; the rare saturated-distance case redoes it unpacked
+    # (lax.cond: only the taken branch executes).
+    if packed:
+        pp, dp = _phase1_packed(prev_u, rounds, stride, d_bits)
+        any_sat = (dp == (1 << d_bits) - 1).any()
 
         def with_fixup(_):
-            pf, df, fok = _phase1_sat_fixup(prev_u, pp, dp)
+            pf, df, fok = _phase1_sat_fixup(prev_u, pp, dp, stride,
+                                            d_bits, sat_k)
             return jax.lax.cond(
                 fok, lambda __: (pf, df),
                 lambda __: _phase1_unpacked(prev_u, rounds, mask), None)
@@ -836,9 +858,9 @@ def _rank_rulers(next_u, prev_u):
     # non-convergence at the round bound => a ruler-free cycle exists
     p1_ok = ~(((p & mask) != 0) & (p[p] != p)).any()
 
-    # phase 2: rank the ruler graph (arrays of n2/STRIDE)
-    rp0 = p[::RULER_STRIDE]
-    rd0 = d[::RULER_STRIDE]
+    # phase 2: rank the ruler graph (arrays of n2/stride)
+    rp0 = p[::stride]
+    rd0 = d[::stride]
     r_rounds = max(1, (rp0.shape[0] - 1).bit_length() + 1)
 
     def p2_cond(c):
@@ -847,7 +869,7 @@ def _rank_rulers(next_u, prev_u):
 
     def p2_body(c):
         rp, rd, i, _ = c
-        j = jnp.clip(rp // RULER_STRIDE, 0, rp.shape[0] - 1)
+        j = jnp.clip(rp // stride, 0, rp.shape[0] - 1)
         pg = rp[j]
         dg = rd[j]
         adv = (rp & mask) == 0  # target is a ruler -> keep jumping
@@ -859,18 +881,32 @@ def _rank_rulers(next_u, prev_u):
     rp, rd, _, _ = jax.lax.while_loop(
         p2_cond, p2_body, (rp0, rd0, jnp.int32(0), jnp.bool_(True)))
     # ruler-level cycle: some ruler still points at a ruler that moves
-    j = jnp.clip(rp // RULER_STRIDE, 0, rp.shape[0] - 1)
+    j = jnp.clip(rp // stride, 0, rp.shape[0] - 1)
     p2_ok = ~(((rp & mask) == 0) & (rp[j] != rp)).any()
 
     # compose: a = nearest ruler-or-head ancestor of v
     a = p
     a_rul = (a & mask) == 0
-    aj = jnp.clip(a // RULER_STRIDE, 0, rp.shape[0] - 1)
+    aj = jnp.clip(a // stride, 0, rp.shape[0] - 1)
     head = jnp.where(a_rul, rp[aj], a)
     dist = d + jnp.where(a_rul, rd[aj], 0)
     # a composed head must be a true head; a cycle would leave prev >= 0
     ok = p1_ok & p2_ok & ~(prev_u[jnp.clip(head, 0, n2 - 1)] >= 0).any()
     return head, dist, ok
+
+
+def _rank_rulers(next_u, prev_u):
+    """(head, dist, ok) via ruler ranking; scheme selected from
+    _PACK_SCHEMES by id-space size so the single-gather packed phase 1
+    survives past 2^24 oriented ids (the round-4 cliff: BENCH_SCALE=2
+    has n2 = 2^25 exactly and fell to the 2-gather unpacked path)."""
+    n2 = next_u.shape[0]
+    for bits, stride, d_bits, sat_k in _PACK_SCHEMES:
+        if n2 <= (1 << bits):
+            return _rank_rulers_impl(next_u, prev_u, stride, d_bits,
+                                     sat_k, packed=True)
+    return _rank_rulers_impl(next_u, prev_u, RULER_STRIDE, _D_BITS,
+                             _SAT_K, packed=False)
 
 
 _P1_ROUNDS = 12  # covers ruler gaps <= 4096; P(gap > 4096) ~ n2*(15/16)^4096
