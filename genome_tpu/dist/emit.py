@@ -146,11 +146,18 @@ def _fetch(x):
 def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
                          head, dist, primary, alive_o, okv_hi, okv_lo,
                          k: int, min_contig_len: int = 0,
-                         max_retries: int = 3):
+                         max_retries: int = 3,
+                         local_slice: tuple[int, int] | None = None):
     """Sharded emission driver with capacity-retry ladder.
 
     Returns (contigs, ok). ok=False after all retries overflowed — the
     caller falls back to the replicated emission path.
+
+    local_slice=(pid, P): build only the pid-th of P contiguous slices
+    of the head-grouped contig set (block decode AND string assembly run
+    at 1/P cost) — the multi-host parallel-write path (SURVEY §3.4;
+    write_fasta_parallel merges the per-process sorted slices). Every
+    process still takes identical retry/fallback decisions.
     """
     S = mesh.shape[axis]
     cl2 = 2 * local_capacity
@@ -224,6 +231,23 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
 
     starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
     ends = np.concatenate([starts[1:], [bh.size]])
+    if local_slice is not None:
+        # restrict to this process's contiguous contig range; blocks of a
+        # contig are contiguous after the (bh, bb) lexsort, so the block
+        # arrays slice cleanly and the decode below runs at 1/P cost
+        pid, nproc = local_slice
+        n_c = starts.size
+        per = -(-n_c // nproc)
+        ci0, ci1 = min(pid * per, n_c), min((pid + 1) * per, n_c)
+        if ci0 >= ci1:
+            return [], True
+        blk0 = int(starts[ci0])
+        blk1 = int(starts[ci1]) if ci1 < n_c else bh.size
+        starts = starts[ci0:ci1] - blk0
+        ends = ends[ci0:ci1] - blk0
+        bh = bh[blk0:blk1]
+        bc = bc[blk0:blk1]
+        bcodes = bcodes[blk0:blk1]
     # one flat base stream in (head, block) order: per-block valid
     # prefixes masked out in a single pass, decoded to text once; each
     # contig is then a pure string slice (no per-contig concatenate)
@@ -251,3 +275,49 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
         if len(c) >= min_contig_len:
             out.append(c)
     return sorted(out), True
+
+
+def write_fasta_parallel(path: str, local_contigs: list[str],
+                         width: int = 80) -> int:
+    """Multi-process FASTA writer (SURVEY §3.4 'host 0 writes output',
+    parallelized): each process writes its SORTED contig slice to
+    `path.shard<pid>`, then process 0 streams a k-way merge of the
+    sorted shards into `path` — byte-identical to
+    write_fasta(path, sorted(all contigs)) — and removes the shards.
+    The expensive work (string building in emit_contigs_sharded's
+    local_slice mode, formatting, disk IO) runs on every process; the
+    merge is a sequential string-compare copy. Assumes the processes
+    share a filesystem (localhost fake cluster / NFS pod); returns the
+    total contig count on every process. Allgather barriers bracket the
+    merge so no process returns before `path` exists.
+    """
+    import heapq
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    pid, P = jax.process_index(), jax.process_count()
+    shard = f"{path}.shard{pid}"
+    with open(shard, "w") as f:
+        for c in local_contigs:
+            f.write(c + "\n")
+    counts = multihost_utils.process_allgather(
+        jnp.asarray([len(local_contigs)]))  # doubles as a write barrier
+    total = int(np.asarray(counts).sum())
+    if pid == 0:
+        files = [open(f"{path}.shard{p}") for p in range(P)]
+        try:
+            its = [(ln.rstrip("\n") for ln in fh) for fh in files]
+            with open(path, "w") as outf:
+                for i, seq in enumerate(heapq.merge(*its)):
+                    outf.write(f">contig_{i}\n")
+                    for j in range(0, len(seq), width):
+                        outf.write(seq[j : j + width] + "\n")
+        finally:
+            for p, fh in enumerate(files):
+                fh.close()
+                os.remove(f"{path}.shard{p}")
+    multihost_utils.process_allgather(jnp.asarray([0]))  # merge barrier
+    return total

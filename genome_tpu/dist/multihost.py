@@ -44,9 +44,16 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
                        local_capacity: int | None = None,
                        forbid_replicated: bool = False,
                        phase_times: dict | None = None,
-                       ckpt=None):
+                       ckpt=None, out_path: str | None = None):
     """SPMD entry: every process passes its own read shard; returns the
     full contig list on every process (written out by process 0).
+
+    out_path: when set, the output FASTA is written by THIS call and the
+    return value is the total contig count (int) instead of the list.
+    On the sharded-emit path every process builds and writes only its
+    1/P contig slice (emit local_slice + write_fasta_parallel — the
+    stitch+write serial tail parallelizes); fallback paths write via
+    process 0. Requires a shared filesystem across processes.
 
     forbid_replicated: raise instead of taking the replicated-graph
     correctness escape (CI asserts the sharded path is really taken).
@@ -231,12 +238,18 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
         _mark("final", t0)
         if not f_ovf:
             # sharded emission: blocks routed by hash(head, dist//B);
-            # only packed bases + per-block records reach host memory
-            from genome_tpu.dist.emit import emit_contigs_sharded
+            # only packed bases + per-block records reach host memory.
+            # out_path mode: each process builds only its 1/P contig
+            # slice and the FASTA write parallelizes too.
+            from genome_tpu.dist.emit import (emit_contigs_sharded,
+                                              write_fasta_parallel)
+            sl = ((jax.process_index(), jax.process_count())
+                  if out_path is not None else None)
             t0 = _t()
             contigs, ok = emit_contigs_sharded(
                 mesh, "shard", local_cap, head, dist, primary, alive_o,
-                okv_hi, okv_lo, params.k, params.min_contig_len)
+                okv_hi, okv_lo, params.k, params.min_contig_len,
+                local_slice=sl)
             if not ok:
                 fs = dict(
                     head=multihost_utils.process_allgather(head, tiled=True),
@@ -253,7 +266,19 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
                                        node_primary=True)
             _mark("emit", t0)
             pt["exchange_ledger"] = LEDGER.summary()
-            return contigs
+            if out_path is None:
+                return contigs
+            t0 = _t()
+            if ok:
+                total = write_fasta_parallel(out_path, contigs)
+            else:
+                if jax.process_index() == 0:
+                    from genome_tpu.io import write_fasta
+                    write_fasta(out_path, contigs)
+                multihost_utils.process_allgather(jnp.asarray([0]))
+                total = len(contigs)
+            _mark("write", t0)
+            return total
 
     if forbid_replicated:
         raise RuntimeError(
@@ -281,4 +306,11 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
     alive = simplify_device(succ_j, okh_j, okl_j, cnt_j, alive, valid_j,
                             params)
     fs = final_chain_state(succ_j, okh_j, okl_j, cnt_j, alive, valid_j)
-    return emit_contigs(fs, okh_j, okl_j, params.k, params.min_contig_len)
+    contigs = emit_contigs(fs, okh_j, okl_j, params.k, params.min_contig_len)
+    if out_path is not None:
+        if jax.process_index() == 0:
+            from genome_tpu.io import write_fasta
+            write_fasta(out_path, contigs)
+        multihost_utils.process_allgather(jnp.asarray([0]))
+        return len(contigs)
+    return contigs

@@ -53,7 +53,17 @@ def test_two_process_localhost_assembly(tmp_path):
         assert p.returncode == 0, se.decode()[-2000:]
 
     params = AssemblyParams(k=15)
-    assert read_fastx(out) == assemble_golden(reads, params)
+    golden = assemble_golden(reads, params)
+    assert read_fastx(out) == golden
+    # the parallel writer (per-process slice build + sorted-shard merge,
+    # dist/emit.py write_fasta_parallel) must be BYTE-identical to a
+    # single-process write_fasta of the sorted contig set, and must
+    # clean up its intermediate shard files
+    from genome_tpu.io import write_fasta
+    ref = tmp_path / "golden.fasta"
+    write_fasta(ref, golden)
+    assert out.read_bytes() == ref.read_bytes()
+    assert not list(tmp_path.glob("contigs.fasta.shard*"))
 
 
 @pytest.mark.slow
