@@ -80,6 +80,23 @@ def main() -> int:
     floor = _detect(_SORT_FLOOR_KMERS_S, dev, 145e6)
     bfloor = _detect(_BUILDABLE_FLOOR_KMERS_S, dev, 122e6)
 
+    # host->device link probe (~100 ms): the axon relay's bandwidth
+    # varies ~2x session-over-session and dominates the e2e count phase
+    # (BENCH.md round-4 "count-phase residual") — recording it in the
+    # artifact lets a reader separate link weather from compute. The sum
+    # fetch forces real materialization (block_until_ready can resolve
+    # without it on this runtime).
+    import numpy as _np
+    _pa = _np.arange((4 << 20) // 4, dtype=_np.uint32)
+    _ = jax.device_put(_pa).sum().item()  # warm the path
+    _best = None
+    for _i in range(3):
+        _t0 = time.perf_counter()
+        _ = jax.device_put(_pa).sum().item()
+        _dt = time.perf_counter() - _t0
+        _best = _dt if _best is None or _dt < _best else _best
+    link_mbps = round(_pa.nbytes / _best / 1e6, 1)
+
     w = bench_workload(scale)
     k, capacity = w["k"], w["capacity"]
 
@@ -241,6 +258,7 @@ def main() -> int:
         "metric": "kmers_per_sec_per_chip_count_build",
         "value": round(value),
         "unit": "kmers/s",
+        "link_mbps": link_mbps,
         "vs_baseline": round(value / target, 4),
         "vs_sort_floor": round(value / floor, 4),
         "vs_buildable_floor": round(value / bfloor, 4),

@@ -204,7 +204,7 @@ def compact_flagged(flags, arrays, capacity: int, interpret: bool = False):
                                memory_space=pltpu.VMEM)
                   for _ in range(1 + n_arr)],
         out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.ANY)
+            [pl.BlockSpec(memory_space=pl.ANY)
              for _ in range(n_arr + 1)]
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         ),

@@ -186,7 +186,7 @@ def partition_by_bucket(bid, rem, num_buckets: int, bucket_cap: int,
             pl.BlockSpec((n_block_rows, LANES), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((B * CARRY_ROWS, LANES), U32),
                         pltpu.SemaphoreType.DMA(())],
     )
