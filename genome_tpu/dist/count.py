@@ -68,7 +68,9 @@ def route_buckets(vals: tuple, owner, num_shards: int, bucket_cap: int,
     out = jax.lax.all_to_all(stacked, axis, split_axis=0, concat_axis=0,
                              tiled=True)
     from genome_tpu.dist.ledger import record_a2a
-    record_a2a(1, num_shards, len(vals) * bucket_cap)
+    # per-shard wire volume = the whole [S, len*cap] buffer (row `me`
+    # stays local; the crossing fraction is applied in the summary)
+    record_a2a(1, num_shards, num_shards * len(vals) * bucket_cap)
     received = tuple(
         out[:, j * bucket_cap : (j + 1) * bucket_cap].reshape(-1)
         for j in range(len(vals)))

@@ -232,9 +232,16 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
         # --- sharded final chain state; emission tuples cross to HOST
         # memory only (string assembly is host work; process 0 writes)
         t0 = _t()
+
+        class _FinalRec:  # captures observed fast-final doubling rounds
+            def log(self, event, **kw):
+                if event == "dist_final_fast_rounds":
+                    _final_rounds.update(kw)
+
+        _final_rounds: dict = {}
         head, dist, primary, alive_o, f_ovf = final_state_sharded(
             mesh, "shard", local_cap, succ, okv_hi, okv_lo, cnts,
-            alive_sh, n_uni)
+            alive_sh, n_uni, metrics=_FinalRec())
         _mark("final", t0)
         if not f_ovf:
             # sharded emission: blocks routed by hash(head, dist//B);
@@ -265,7 +272,8 @@ def assemble_multihost(local_reads, params: AssemblyParams | None = None,
                                        params.min_contig_len,
                                        node_primary=True)
             _mark("emit", t0)
-            pt["exchange_ledger"] = LEDGER.summary()
+            pt["exchange_ledger"] = dict(LEDGER.summary(),
+                                         final_fast_rounds=_final_rounds)
             if out_path is None:
                 return contigs
             t0 = _t()

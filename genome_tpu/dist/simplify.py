@@ -65,7 +65,7 @@ def _back_multi(resps: tuple, axis, num_shards, cap):
     stacked = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=1)
     out = jax.lax.all_to_all(stacked, axis, split_axis=0, concat_axis=0,
                              tiled=True)
-    record_a2a(1, num_shards, len(resps) * cap)
+    record_a2a(1, num_shards, num_shards * len(resps) * cap)
     return tuple(out[:, j * cap : (j + 1) * cap].reshape(-1)
                  for j in range(len(resps)))
 
