@@ -95,7 +95,7 @@ def main() -> int:
         _ = jax.device_put(_pa).sum().item()
         _dt = time.perf_counter() - _t0
         _best = _dt if _best is None or _dt < _best else _best
-    link_mbps = round(_pa.nbytes / _best / 1e6, 1)
+    link_mb_per_s = round(_pa.nbytes / _best / 1e6, 1)
 
     w = bench_workload(scale)
     k, capacity = w["k"], w["capacity"]
@@ -258,7 +258,7 @@ def main() -> int:
         "metric": "kmers_per_sec_per_chip_count_build",
         "value": round(value),
         "unit": "kmers/s",
-        "link_mbps": link_mbps,
+        "link_mb_per_s": link_mb_per_s,
         "vs_baseline": round(value / target, 4),
         "vs_sort_floor": round(value / floor, 4),
         "vs_buildable_floor": round(value / bfloor, 4),

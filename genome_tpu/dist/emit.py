@@ -231,6 +231,20 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
 
     starts = np.flatnonzero(np.concatenate([[True], bh[1:] != bh[:-1]]))
     ends = np.concatenate([starts[1:], [bh.size]])
+    # every block-chain head MUST have a head record; a miss here means a
+    # broken invariant upstream — fail loudly instead of silently building
+    # the contig from a neighboring head k-mer (searchsorted returns an
+    # insertion point, not a membership test). The check runs on the
+    # GLOBAL head set, BEFORE any local_slice restriction: all processes
+    # hold identical (kid, bh) and must take the same raise/continue
+    # decision, or the one process whose slice holds the bad head dies
+    # while the rest hang in write_fasta_parallel's allgather.
+    pos_all = np.searchsorted(kid, bh[starts])
+    if pos_all.size and (int(pos_all.max()) >= kid.size
+                         or not (kid[pos_all] == bh[starts]).all()):
+        raise AssertionError(
+            "dist emit: contig head id missing from head-kmer join table "
+            "(invariant violation — head/block exchange out of sync)")
     if local_slice is not None:
         # restrict to this process's contiguous contig range; blocks of a
         # contig are contiguous after the (bh, bb) lexsort, so the block
@@ -248,6 +262,7 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
         bh = bh[blk0:blk1]
         bc = bc[blk0:blk1]
         bcodes = bcodes[blk0:blk1]
+        pos_all = pos_all[ci0:ci1]
     # one flat base stream in (head, block) order: per-block valid
     # prefixes masked out in a single pass, decoded to text once; each
     # contig is then a pure string slice (no per-contig concatenate)
@@ -256,17 +271,7 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
     cum = np.concatenate([[0], np.cumsum(bc)])
     text = np.frombuffer(b"ACGT", dtype=np.uint8)[flat].tobytes().decode(
         "ascii")
-    pos = np.searchsorted(kid, bh[starts])
-    # every block-chain head MUST have a head record; a miss here means a
-    # broken invariant upstream — fail loudly instead of silently building
-    # the contig from a neighboring head k-mer (searchsorted returns an
-    # insertion point, not a membership test)
-    if pos.size and (int(pos.max()) >= kid.size
-                     or not (kid[pos] == bh[starts]).all()):
-        raise AssertionError(
-            "dist emit: contig head id missing from head-kmer join table "
-            "(invariant violation — head/block exchange out of sync)")
-    head_km = kkm[pos]
+    head_km = kkm[pos_all]
     out: list[str] = []
     for i in range(starts.size):
         a, b = starts[i], ends[i]
@@ -291,7 +296,9 @@ def write_fasta_parallel(path: str, local_contigs: list[str],
     total contig count on every process. Allgather barriers bracket the
     merge so no process returns before `path` exists.
     """
+    import gzip
     import heapq
+    import io as _io
     import os
 
     import jax
@@ -310,7 +317,11 @@ def write_fasta_parallel(path: str, local_contigs: list[str],
         files = [open(f"{path}.shard{p}") for p in range(P)]
         try:
             its = [(ln.rstrip("\n") for ln in fh) for fh in files]
-            with open(path, "w") as outf:
+            # match io.write_fasta's format exactly, including gzip on
+            # .gz paths (shard intermediates stay plain text)
+            outf = (_io.TextIOWrapper(gzip.open(path, "wb"))
+                    if path.endswith(".gz") else open(path, "w"))
+            with outf:
                 for i, seq in enumerate(heapq.merge(*its)):
                     outf.write(f">contig_{i}\n")
                     for j in range(0, len(seq), width):

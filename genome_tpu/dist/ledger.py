@@ -37,13 +37,12 @@ class _ProgramCost:
     dyn_elems: int = 0
     sites: dict = field(default_factory=dict)
 
-    def as_dict(self, num_shards: int) -> dict:
+    def as_dict(self, cross: float) -> dict:
         return {
             "a2a": self.a2a,
             "psum": self.psum,
             "mb_per_shard": round(self.elems * 4 / 1e6, 3),
-            "mb_crossing": round(
-                self.elems * 4 * (num_shards - 1) / num_shards / 1e6, 3),
+            "mb_crossing": round(self.elems * 4 * cross / 1e6, 3),
             "dyn_a2a_cap": self.dyn_a2a,
             "dyn_mb_cap": round(self.dyn_elems * 4 / 1e6, 3),
         }
@@ -53,6 +52,11 @@ class ExchangeLedger:
     def __init__(self):
         self.programs: dict[str, _ProgramCost] = {}
         self.invocations: dict[str, int] = {}
+        # pre-retrace epochs: capacity-retry ladders retrace a program
+        # with bigger caps; invocations already charged against the OLD
+        # cost are archived so the totals never multiply old invocation
+        # counts by the new (bigger) per-invocation cost
+        self.archived: dict[str, list] = {}
         self._current: str | None = None
         self._mult = 1
         self._dynamic = 0
@@ -61,7 +65,12 @@ class ExchangeLedger:
     # ---- trace-time hooks ----
     def program(self, name: str) -> None:
         """Declare the program being traced (first line of a body fn).
-        Re-tracing the same name resets its cost (fresh compilation)."""
+        Re-tracing the same name archives the prior epoch's
+        (cost, invocations) and starts a fresh cost."""
+        if name in self.programs and self.invocations.get(name, 0) > 0:
+            self.archived.setdefault(name, []).append(
+                (self.programs[name], self.invocations[name]))
+            self.invocations[name] = 0
         self._current = name
         self.programs[name] = _ProgramCost()
         self._mult = 1
@@ -102,18 +111,29 @@ class ExchangeLedger:
 
     def reset_invocations(self) -> None:
         self.invocations = {}
+        self.archived = {}
 
     def summary(self) -> dict:
-        S = max(2, self.num_shards)
+        S = self.num_shards
+        # crossing fraction of an all_to_all buffer: (S-1)/S leaves the
+        # shard; a true 1-shard mesh crosses nothing
+        cross = (S - 1) / S if S > 1 else 0.0
         out = {}
         tot_a2a = tot_mb = 0.0
         for name, cost in self.programs.items():
             inv = self.invocations.get(name, 0)
-            d = cost.as_dict(S)
+            d = cost.as_dict(cross)
             d["invocations"] = inv
+            epochs = self.archived.get(name, [])
+            if epochs:
+                d["retry_epochs"] = len(epochs)
             out[name] = d
             tot_a2a += d["a2a"] * inv
             tot_mb += d["mb_crossing"] * inv
+            for old_cost, old_inv in epochs:
+                od = old_cost.as_dict(cross)
+                tot_a2a += od["a2a"] * old_inv
+                tot_mb += od["mb_crossing"] * old_inv
         out["_totals"] = {"a2a_invoked": int(tot_a2a),
                           "mb_crossing_invoked": round(tot_mb, 3),
                           "num_shards": S}

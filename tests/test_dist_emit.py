@@ -78,3 +78,29 @@ def test_sharded_emit_circular_fallback_ok():
     from genome_tpu.dist.assemble import assemble_sharded
     got = assemble_sharded(reads, params, num_shards=4)
     assert got == assemble_golden(reads, params)
+
+
+def test_write_fasta_parallel_single_process(tmp_path):
+    """write_fasta_parallel degenerates to a plain sorted write at
+    process_count=1, byte-identical to io.write_fasta (incl. the .gz
+    branch — a review found the sharded path once wrote plain text to
+    .gz-named outputs), with shard intermediates cleaned up."""
+    from genome_tpu.dist.emit import write_fasta_parallel
+    from genome_tpu.io import read_fastx, write_fasta
+
+    contigs = sorted(["ACGTACGTAGGA" * 10, "TTTTGGGGCCCC" * 7, "ACGT" * 30])
+    out = tmp_path / "c.fasta"
+    total = write_fasta_parallel(str(out), contigs)
+    assert total == len(contigs)
+    ref = tmp_path / "ref.fasta"
+    write_fasta(ref, contigs)
+    assert out.read_bytes() == ref.read_bytes()
+    assert not list(tmp_path.glob("c.fasta.shard*"))
+
+    gz = tmp_path / "c.fasta.gz"
+    write_fasta_parallel(str(gz), contigs)
+    # must really be gzip, and parse back identically
+    import gzip
+    with gzip.open(gz, "rt") as f:
+        assert f.readline().startswith(">contig_0")
+    assert read_fastx(gz) == contigs
