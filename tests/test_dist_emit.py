@@ -104,3 +104,71 @@ def test_write_fasta_parallel_single_process(tmp_path):
     with gzip.open(gz, "rt") as f:
         assert f.readline().startswith(">contig_0")
     assert read_fastx(gz) == contigs
+
+
+def test_emit_local_slice_union_equals_full():
+    """The parallel-write path builds contigs per slice; the union of
+    all slices (for several P, including P > #contigs) must equal the
+    full emission, each slice internally sorted."""
+    from genome_tpu.assemble.pipeline import extract_stream, _pow2_at_least
+    from genome_tpu.dist.assemble import _default_mesh, shard_reads
+    from genome_tpu.dist.build import make_sharded_build
+    from genome_tpu.dist.count import make_sharded_count, shrink_tables
+    from genome_tpu.dist.simplify import final_state_sharded, simplify_sharded
+    from genome_tpu.kernels.extract import SENTINEL
+
+    # fragmented assembly (planted exact repeats): several contigs
+    core = random_genome(1800, seed=41)
+    rep = core[200:400]
+    g = core[:600] + rep + core[600:1200] + rep + core[1200:]
+    reads = simulate_reads(g, read_len=70, coverage=15, error_rate=0.0,
+                           seed=42)
+    params = AssemblyParams(k=15, min_coverage=2)
+    S = 4
+    mesh = _default_mesh(S)
+    parts = []
+    for chunk in shard_reads(reads, S):
+        hi, lo = extract_stream(chunk, params.k)
+        parts.append((np.asarray(hi), np.asarray(lo)))
+    m = max(p[0].size for p in parts)
+    ghi = np.full((S, m), SENTINEL, dtype=np.uint32)
+    glo = np.full((S, m), SENTINEL, dtype=np.uint32)
+    for r, (h, l) in enumerate(parts):
+        ghi[r, : h.size] = h
+        glo[r, : l.size] = l
+    local_cap = _pow2_at_least(max(64, m))
+    counter = make_sharded_count(mesh, "shard", m + 64, local_cap)
+    th, tl, cnts, n_uni, ovf = counter(ghi.reshape(-1), glo.reshape(-1),
+                                       jnp.asarray([2], jnp.uint32))
+    assert not bool(np.asarray(ovf).any())
+    th, tl, cnts, local_cap = shrink_tables(mesh, "shard", local_cap,
+                                            th, tl, cnts, n_uni)
+    qcap = max(64, int(1.3 * 8 * local_cap / S) + 64)
+    builder = make_sharded_build(mesh, "shard", params.k, local_cap, qcap)
+    succ, okv_hi, okv_lo, bovf = builder(th, tl, n_uni)
+    assert not bool(np.asarray(bovf).any())
+    alive0 = jnp.ones((S * local_cap,), dtype=jnp.bool_)
+    alive, ovf_s = simplify_sharded(mesh, "shard", local_cap, succ,
+                                    okv_hi, okv_lo, cnts, alive0, n_uni,
+                                    params)
+    assert not ovf_s
+    head, dist, primary, alive_o, f_ovf = final_state_sharded(
+        mesh, "shard", local_cap, succ, okv_hi, okv_lo, cnts, alive,
+        n_uni)
+    assert not f_ovf
+
+    full, ok = emit_contigs_sharded(mesh, "shard", local_cap, head, dist,
+                                    primary, alive_o, okv_hi, okv_lo,
+                                    params.k)
+    assert ok and len(full) >= 3
+    for P in (1, 2, 3, len(full), len(full) + 2):
+        pieces = []
+        for pid in range(P):
+            part, okp = emit_contigs_sharded(
+                mesh, "shard", local_cap, head, dist, primary, alive_o,
+                okv_hi, okv_lo, params.k, local_slice=(pid, P))
+            assert okp
+            assert part == sorted(part)
+            pieces.append(part)
+        union = sorted(c for p in pieces for c in p)
+        assert union == full, (P, list(map(len, pieces)))
