@@ -142,3 +142,23 @@ def test_device_diploid_het_bubbles_match_golden():
     want = assemble_golden(reads, params)
     assert got == want
     assert len(got) >= 1
+
+
+def test_parity_seed_sweep():
+    """Shape-stable content fuzz: 6 random (genome, error) draws at one
+    compiled shape, device == golden on every one. Rare-semantics bugs
+    (tie-breaks, RC pins, boundary windows) show up as content-dependent
+    divergence long before they show up in hand-picked fixtures."""
+    from genome_tpu.assemble.pipeline import assemble_device
+    from genome_tpu.golden import assemble_golden
+    from genome_tpu.io import random_genome, simulate_reads
+    from genome_tpu.params import AssemblyParams
+
+    params = AssemblyParams(k=15, min_coverage=2)
+    for seed in (101, 202, 303, 404, 505, 606):
+        err = (seed % 3) * 0.008  # 0 / 0.8% / 1.6%
+        reads = simulate_reads(random_genome(1800, seed=seed),
+                               read_len=80, coverage=18,
+                               error_rate=err, seed=seed + 7)
+        assert assemble_device(reads, params) == \
+            assemble_golden(reads, params), (seed, err)
