@@ -92,6 +92,8 @@ def make_sharded_build(mesh: Mesh, axis: str, k: int, local_capacity: int,
         resp_buf = resp.astype(U32).reshape(num_shards, query_cap)
         back = jax.lax.all_to_all(resp_buf, axis, split_axis=0,
                                   concat_axis=0, tiled=True)
+        from genome_tpu.dist.ledger import record_a2a
+        record_a2a(1, num_shards, num_shards * query_cap)
         back = back.reshape(-1).astype(I32)
 
         # gather each query's response from its send slot
