@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from genome_tpu.dist.count import route_buckets
+from genome_tpu.dist.ledger import LEDGER, record_a2a
 from genome_tpu.dist.partition import owner_of
 from genome_tpu.graph.build import searchsorted_pair
 from genome_tpu.kernels import u64
@@ -48,7 +49,6 @@ def make_sharded_build(mesh: Mesh, axis: str, k: int, local_capacity: int,
     cl = local_capacity
 
     def shard_fn(table_hi, table_lo, n_loc):
-        from genome_tpu.dist.ledger import LEDGER
         LEDGER.program("dist_build")
         table_hi, table_lo = table_hi.reshape(-1), table_lo.reshape(-1)
         me = jax.lax.axis_index(axis)
@@ -92,7 +92,6 @@ def make_sharded_build(mesh: Mesh, axis: str, k: int, local_capacity: int,
         resp_buf = resp.astype(U32).reshape(num_shards, query_cap)
         back = jax.lax.all_to_all(resp_buf, axis, split_axis=0,
                                   concat_axis=0, tiled=True)
-        from genome_tpu.dist.ledger import record_a2a
         record_a2a(1, num_shards, num_shards * query_cap)
         back = back.reshape(-1).astype(I32)
 

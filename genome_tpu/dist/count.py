@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from genome_tpu.dist.ledger import LEDGER, record_a2a
 from genome_tpu.dist.partition import owner_of
 from genome_tpu.kernels.count import count_kmers_device
 from genome_tpu.kernels.extract import SENTINEL
@@ -67,7 +68,6 @@ def route_buckets(vals: tuple, owner, num_shards: int, bucket_cap: int,
     stacked = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=1)
     out = jax.lax.all_to_all(stacked, axis, split_axis=0, concat_axis=0,
                              tiled=True)
-    from genome_tpu.dist.ledger import record_a2a
     # per-shard wire volume = the whole [S, len*cap] buffer (row `me`
     # stays local; the crossing fraction is applied in the summary)
     record_a2a(1, num_shards, num_shards * len(vals) * bucket_cap)
@@ -89,7 +89,6 @@ def make_sharded_count(mesh: Mesh, axis: str, bucket_cap: int,
     num_shards = mesh.shape[axis]
 
     def shard_fn(hi, lo, min_cov):
-        from genome_tpu.dist.ledger import LEDGER
         LEDGER.program("dist_count")
         hi, lo = hi.reshape(-1), lo.reshape(-1)
         valid = hi != SENTINEL

@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from genome_tpu.dist.count import route_buckets
+from genome_tpu.dist.ledger import LEDGER
 from genome_tpu.dist.partition import _fmix32_jnp
 from genome_tpu.kernels.extract import SENTINEL
 from genome_tpu.utils import dna
@@ -70,7 +71,6 @@ def make_sharded_emit(mesh: Mesh, axis: str, local_capacity: int,
     cl2 = 2 * local_capacity
 
     def emit_fn(head, dist, primary, alive_o, okv_hi, okv_lo):
-        from genome_tpu.dist.ledger import LEDGER
         LEDGER.program("dist_emit")
         head = head.reshape(-1)
         dist = dist.reshape(-1)
@@ -174,7 +174,6 @@ def emit_contigs_sharded(mesh: Mesh, axis: str, local_capacity: int,
                                  block_cap, head_cap)
         (words, bhead, bblk, bcnt, n_blocks, hid, hh, hl, n_heads,
          ovf) = emit(head, dist, primary, alive_o, okv_hi, okv_lo)
-        from genome_tpu.dist.ledger import LEDGER
         LEDGER.invoke("dist_emit")
         if not bool(_fetch(ovf).any()):
             break
@@ -296,14 +295,14 @@ def write_fasta_parallel(path: str, local_contigs: list[str],
     total contig count on every process. Allgather barriers bracket the
     merge so no process returns before `path` exists.
     """
-    import gzip
     import heapq
-    import io as _io
     import os
 
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
+
+    from genome_tpu.io import write_fasta
 
     pid, P = jax.process_index(), jax.process_count()
     shard = f"{path}.shard{pid}"
@@ -317,15 +316,10 @@ def write_fasta_parallel(path: str, local_contigs: list[str],
         files = [open(f"{path}.shard{p}") for p in range(P)]
         try:
             its = [(ln.rstrip("\n") for ln in fh) for fh in files]
-            # match io.write_fasta's format exactly, including gzip on
-            # .gz paths (shard intermediates stay plain text)
-            outf = (_io.TextIOWrapper(gzip.open(path, "wb"))
-                    if path.endswith(".gz") else open(path, "w"))
-            with outf:
-                for i, seq in enumerate(heapq.merge(*its)):
-                    outf.write(f">contig_{i}\n")
-                    for j in range(0, len(seq), width):
-                        outf.write(seq[j : j + width] + "\n")
+            # write_fasta only iterates its sequence argument, so the
+            # lazy k-way merge streams straight through it — one format
+            # implementation (headers, wrapping, gzip on .gz paths)
+            write_fasta(path, heapq.merge(*its), width=width)
         finally:
             for p, fh in enumerate(files):
                 fh.close()
