@@ -291,3 +291,18 @@ def test_sharded_assembly_on_tpu_chip():
     _, reads, params = _case(4, 800, 70, 18, 0.015, True, 15, 2)
     got = assemble_sharded(reads, params, num_shards=1)
     assert got == assemble_golden(reads, params)
+
+
+def test_sharded_parity_seed_sweep():
+    """Shape-stable content fuzz on the SHARDED path: 3 random
+    genome/error draws, sharded == golden on each (the distributed
+    analog of test_parity_seed_sweep — content-dependent divergence in
+    routing/exchange tie-breaks would show here)."""
+    params = AssemblyParams(k=15, min_coverage=2)
+    for seed in (711, 812, 913):
+        err = (seed % 3) * 0.008
+        reads = simulate_reads(random_genome(1800, seed=seed),
+                               read_len=80, coverage=18,
+                               error_rate=err, seed=seed + 9)
+        assert assemble_sharded(reads, params, num_shards=4) == \
+            assemble_golden(reads, params), (seed, err)
