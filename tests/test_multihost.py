@@ -126,3 +126,53 @@ def test_kill_one_process_between_phases_resume(tmp_path):
     resumed = read_fastx(out)
 
     assert resumed == assemble_golden(reads, AssemblyParams(k=15))
+
+
+@pytest.mark.slow
+def test_resume_rejects_modified_input(tmp_path):
+    """ADVICE r4 end-to-end: checkpoints saved for input A must NOT be
+    resumed against modified input B (the manifest pins an input-stream
+    digest); the restarted job recomputes and produces B's contigs."""
+    genome = random_genome(600, seed=80)
+    reads_a = simulate_reads(genome, read_len=70, coverage=10,
+                             error_rate=0.0, seed=81)
+    # B: same read count/shapes, one read replaced by its mutant
+    reads_b = list(reads_a)
+    reads_b[3] = ("T" if reads_b[3][0] != "T" else "A") + reads_b[3][1:]
+
+    fq = tmp_path / "reads.fastq"
+    out = tmp_path / "contigs.fasta"
+    ckdir = tmp_path / "ckpt"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+
+    def write_fq(reads):
+        with open(fq, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    def run(resume):
+        port = _free_port()
+        args = [sys.executable, "-m", "genome_tpu.dist.launch", str(fq),
+                "-o", str(out), "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--k", "15", "--cpu-devices", "4",
+                "--forbid-replicated", "--checkpoint-dir", str(ckdir)]
+        if resume:
+            args.append("--resume")
+        procs = [subprocess.Popen(args + ["--process-id", str(pid)],
+                                  env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE)
+                 for pid in range(2)]
+        for p in procs:
+            _, se = p.communicate(timeout=600)
+            assert p.returncode == 0, se.decode()[-2000:]
+
+    write_fq(reads_a)
+    run(resume=False)  # checkpoints now hold A's artifacts
+    write_fq(reads_b)
+    run(resume=True)   # must reject A's checkpoints and recompute
+    assert read_fastx(out) == assemble_golden(reads_b, AssemblyParams(k=15))
